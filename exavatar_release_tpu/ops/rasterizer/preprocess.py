@@ -1,0 +1,151 @@
+"""3DGS screen-space preprocessing: EWA projection to conics, MXU packing.
+
+Replaces the per-Gaussian ``preprocessCUDA`` stage of the reference's external
+``diff-gaussian-rasterization-depth`` CUDA rasterizer (consumed at reference
+avatar/common/nets/module.py:609-640). All math here is pure, vectorized JAX —
+it autodiffs, so the backward through projection comes for free; only the
+per-tile compositing (see pallas_forward/pallas_backward) needs a custom VJP.
+
+Conventions copied from the CUDA rasterizer for gradient parity:
+* view-space cull at z <= 0.2;
+* EWA Jacobian with x/z, y/z clamped to ±1.3·tan(fov);
+* +0.3 pixel low-pass dilation on the 2D covariance diagonal;
+* radius = ceil(3·sqrt(λ_max)), λ via eigenvalues of the dilated covariance;
+* NDC→pixel: ((v + 1)·S − 1)/2 (pixel centers at integer coordinates).
+
+TPU-first design: instead of evaluating per-pixel Mahalanobis distances with
+scalar math, each visible Gaussian is packed as the 6 coefficients of its
+screen-space log-density quadratic q(px, py) = c0 + c1·px + c2·py + c3·px² +
+c4·px·py + c5·py² (c0 includes log opacity). A tile of pixels then evaluates
+all Gaussians at once as `pixel_basis (P×8) @ coeffs^T (8×G)` on the MXU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.camera import Camera, get_fov
+from ...core.geometry import covariance_from_scale_quat
+
+
+class ScreenGaussians(NamedTuple):
+    """Per-Gaussian screen-space quantities (all shapes lead with N)."""
+
+    quad: jnp.ndarray  # (N, 8) [c0+log_op, c1, c2, c3, c4, c5, log_op, 0]
+    color: jnp.ndarray  # (N, 4) [r, g, b, depth]
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    depth: jnp.ndarray  # (N,) view-space z
+    radius: jnp.ndarray  # (N,) float screen-space radius (0 for culled)
+    in_frustum: jnp.ndarray  # (N,) bool
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    live: jnp.ndarray,
+    cam: Camera,
+    img_shape: Tuple[int, int],
+    mean2d_offset: jnp.ndarray | None = None,
+) -> ScreenGaussians:
+    """Project N world-space Gaussians to screen space.
+
+    means3d (N,3) world; scales (N,3) linear (already exp'd); quats (N,4) wxyz;
+    opacities (N,1) in [0,1]; rgbs (N,3); live (N,) bool mask of real rows.
+    ``mean2d_offset`` (N,2), normally zeros, exists so that callers can take
+    gradients w.r.t. the screen-space means — the densification signal the
+    reference reads from `means2D.grad` (avatar/main/train.py:51).
+    """
+    H, W = int(img_shape[0]), int(img_shape[1])
+    f32 = jnp.float32
+    means3d = means3d.astype(f32)
+
+    # --- view transform -----------------------------------------------------
+    p_view = means3d @ cam.R.T.astype(f32) + cam.t.astype(f32)[None, :]
+    depth = p_view[:, 2]
+    in_front = depth > 0.2  # CUDA near-cull threshold
+
+    fov = get_fov(cam.focal, (H, W))
+    tan_fovx = jnp.tan(fov[0] / 2.0)
+    tan_fovy = jnp.tan(fov[1] / 2.0)
+    # CUDA uses focal derived from image size + fov (principal point ignored)
+    focal_x = W / (2.0 * tan_fovx)
+    focal_y = H / (2.0 * tan_fovy)
+
+    # --- NDC / pixel projection --------------------------------------------
+    safe_z = jnp.where(in_front, depth, 1.0)
+    ndc_x = p_view[:, 0] / safe_z * (1.0 / tan_fovx)
+    ndc_y = p_view[:, 1] / safe_z * (1.0 / tan_fovy)
+    px = ((ndc_x + 1.0) * W - 1.0) * 0.5
+    py = ((ndc_y + 1.0) * H - 1.0) * 0.5
+    mean2d = jnp.stack([px, py], axis=1)
+    if mean2d_offset is not None:
+        mean2d = mean2d + mean2d_offset.astype(f32)
+
+    # --- EWA: 2D covariance --------------------------------------------------
+    cov3d = covariance_from_scale_quat(scales.astype(f32), quats.astype(f32))
+    tx = jnp.clip(p_view[:, 0] / safe_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * safe_z
+    ty = jnp.clip(p_view[:, 1] / safe_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * safe_z
+    z = safe_z
+    # J rows for x' = fx·x/z, y' = fy·y/z (third row dropped)
+    j00 = focal_x / z
+    j02 = -focal_x * tx / (z * z)
+    j11 = focal_y / z
+    j12 = -focal_y * ty / (z * z)
+    # T = J @ R_view  (2x3)
+    R = cam.R.astype(f32)
+    T0 = j00[:, None] * R[0][None, :] + j02[:, None] * R[2][None, :]
+    T1 = j11[:, None] * R[1][None, :] + j12[:, None] * R[2][None, :]
+    # cov2d = T Σ T^T
+    S0 = jnp.einsum("ni,nij->nj", T0, cov3d)
+    S1 = jnp.einsum("ni,nij->nj", T1, cov3d)
+    a = jnp.sum(S0 * T0, axis=1) + 0.3
+    b = jnp.sum(S0 * T1, axis=1)
+    c = jnp.sum(S1 * T1, axis=1) + 0.3
+
+    det = a * c - b * b
+    det_ok = det > 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    conic_a = c / safe_det
+    conic_b = -b / safe_det
+    conic_c = a / safe_det
+
+    # --- screen radius (CUDA: 3 sigma of the larger eigenvalue, ceil) -------
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    visible = in_front & det_ok & (live if live is not None else True)
+    radius = jnp.where(visible, radius, 0.0)
+
+    # --- quadratic packing ---------------------------------------------------
+    # power(p) = -0.5·A·dx² - B·dx·dy - 0.5·C·dy², d = p - mean2d
+    A, B, C = conic_a, conic_b, conic_c
+    gx, gy = mean2d[:, 0], mean2d[:, 1]
+    log_op = jnp.log(jnp.clip(opacities[:, 0].astype(f32), 1e-12, 1.0))
+    c3 = -0.5 * A
+    c4 = -B
+    c5 = -0.5 * C
+    c1 = A * gx + B * gy
+    c2 = B * gx + C * gy
+    c0 = -0.5 * (A * gx * gx + 2.0 * B * gx * gy + C * gy * gy) + log_op
+    # dead rows: drive alpha to 0 by -inf-ish bias (finite to avoid NaN grads)
+    c0 = jnp.where(visible, c0, -1e9)
+    quad = jnp.stack(
+        [c0, c1, c2, c3, c4, c5, log_op, jnp.zeros_like(c0)], axis=1
+    )
+    color = jnp.concatenate(
+        [rgbs.astype(f32), depth[:, None].astype(f32)], axis=1
+    )
+    return ScreenGaussians(
+        quad=quad,
+        color=color,
+        mean2d=mean2d,
+        depth=depth,
+        radius=radius,
+        in_frustum=visible,
+    )
