@@ -1,0 +1,178 @@
+"""Public differentiable 3DGS rasterization API.
+
+Mirrors the capability surface of the reference's GaussianRasterizer call
+(reference avatar/common/nets/module.py:609-647): given world-space Gaussians
+and a camera, render image + depth + mask, and expose per-Gaussian screen
+radius / visibility and screen-space mean gradients (via ``mean2d_offset``)
+for densification (reference avatar/main/train.py:49-54).
+
+Pipeline (all static shapes):
+  project_gaussians (pure JAX, autodiff)       [preprocess.py]
+  -> global depth sort + per-tile compaction   [binning.py, int outputs]
+  -> per-tile gather + tile-local quad packing (pure JAX, autodiff)
+  -> tile compositing: Pallas kernels with hand-derived VJP, or the
+     sequential-scan JAX oracle                [pallas_kernels.py / jax_ref.py]
+  -> image assembly + background composite (pure JAX, autodiff)
+
+Unlike the reference (batch_size==1 hard limit, avatar/main/config.py:44-45),
+this function is vmap/shard_map-friendly; batching is done by the caller.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.camera import Camera
+from . import jax_ref, pallas_kernels
+from .binning import bin_gaussians, tile_grid
+from .preprocess import ScreenGaussians, pack_tile_quads, project_gaussians
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeSettings:
+    tile_h: int = 8
+    tile_w: int = 128
+    max_per_tile: int = 1024
+    chunk: int = 256
+    backend: str = "pallas"  # "pallas" | "ref"
+    interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+
+    def resolve_interpret(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------------------------
+# custom-VJP compositing boundary
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret):
+    return pallas_kernels.composite_tiles_fwd(
+        tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret
+    )
+
+
+def _composite_fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret):
+    accum, tfinal = pallas_kernels.composite_tiles_fwd(
+        tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret
+    )
+    return (accum, tfinal), (tile_quad, tile_color, tile_counts, accum, tfinal)
+
+
+def _composite_bwd(tile_shape, chunk, interpret, res, cot):
+    tile_quad, tile_color, tile_counts, accum, tfinal = res
+    g_accum, g_tfinal = cot
+    dquad, dcolor = pallas_kernels.composite_tiles_bwd(
+        tile_quad,
+        tile_color,
+        tile_counts,
+        g_accum,
+        g_tfinal,
+        accum,
+        tfinal,
+        tile_shape,
+        chunk,
+        interpret,
+    )
+    return dquad, dcolor, None
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    live: jnp.ndarray,
+    cam: Camera,
+    img_shape: Tuple[int, int],
+    bg: jnp.ndarray,
+    settings: RasterizeSettings = RasterizeSettings(),
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Differentiable render of N world-space Gaussians.
+
+    Returns dict with:
+      img   (H, W, 3)  alpha-composited color over ``bg``
+      depth (H, W)     expected view-space depth (sum of w_i * z_i)
+      mask  (H, W)     accumulated alpha (1 - final transmittance)
+      mean2d (N, 2), radius (N,), is_vis (N,)  — densification stats
+    """
+    H, W = int(img_shape[0]), int(img_shape[1])
+    th, tw = settings.tile_h, settings.tile_w
+    ny, nx = tile_grid((H, W), th, tw)
+    n = means3d.shape[0]
+
+    screen = project_gaussians(
+        means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
+    )
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(screen.mean2d),
+        jax.lax.stop_gradient(screen.radius),
+        jax.lax.stop_gradient(screen.depth),
+        screen.in_frustum,
+        (H, W),
+        th,
+        tw,
+        settings.max_per_tile,
+    )
+
+    # depth-sorted gather with a sentinel row (log_op = -1e9 → zero alpha)
+    sentinel_p = jnp.zeros((1, 8), jnp.float32).at[0, 5].set(-1e9)
+    params_pad = jnp.concatenate([screen.params[binning.order], sentinel_p], axis=0)
+    color_pad = jnp.concatenate(
+        [screen.color[binning.order], jnp.zeros((1, 4), jnp.float32)], axis=0
+    )
+    tile_params = params_pad[binning.tile_indices]  # (T, K, 8)
+    tile_color = color_pad[binning.tile_indices]  # (T, K, 4)
+
+    t_ids = jnp.arange(ny * nx, dtype=jnp.int32)
+    origins = jnp.stack(
+        [(t_ids % nx) * tw, (t_ids // nx) * th], axis=1
+    ).astype(jnp.float32)
+    tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
+
+    if settings.backend == "ref":
+        accum, tfinal = jax_ref.composite_tiles_ref(tile_quad, tile_color, (th, tw))
+    else:
+        accum, tfinal = _composite(
+            tile_quad,
+            tile_color,
+            binning.tile_counts,
+            (th, tw),
+            settings.chunk,
+            settings.resolve_interpret(),
+        )
+
+    # background composite + image assembly (T, P, C) -> (H, W, C)
+    rgb_tiles = accum[..., 0:3] + tfinal * bg[None, None, :]
+    full = jnp.concatenate([rgb_tiles, accum[..., 3:4], 1.0 - tfinal], axis=-1)
+    full = full.reshape(ny, nx, th, tw, 5)
+    full = full.transpose(0, 2, 1, 3, 4).reshape(ny * th, nx * tw, 5)
+    full = full[:H, :W]
+
+    return {
+        "img": full[..., 0:3],
+        "depth": full[..., 3],
+        "mask": full[..., 4],
+        "mean2d": screen.mean2d,
+        "radius": screen.radius,
+        "is_vis": screen.radius > 0,
+        "tile_counts": binning.tile_counts,
+    }

@@ -26,19 +26,18 @@ import jax.numpy as jnp
 
 
 def composite_tiles_ref(
-    tile_quad: jnp.ndarray,  # (T, K, 8)
+    tile_quad: jnp.ndarray,  # (T, K, 8) tile-LOCAL quadratic coefficients
     tile_color: jnp.ndarray,  # (T, K, 4)
-    tile_origin: jnp.ndarray,  # (T, 2) int32 pixel origin (ox, oy)
     tile_shape: Tuple[int, int],  # (tile_h, tile_w) static
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequential-scan compositing. Returns (accum (T,P,4), tfinal (T,P,1))."""
     th, tw = tile_shape
     P = th * tw
 
-    def one_tile(quad, color, origin):
+    def one_tile(quad, color):
         i = jnp.arange(P, dtype=jnp.int32)
-        px = (origin[0] + i % tw).astype(jnp.float32)
-        py = (origin[1] + i // tw).astype(jnp.float32)
+        px = (i % tw).astype(jnp.float32)
+        py = (i // tw).astype(jnp.float32)
         basis = jnp.stack(
             [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
         )  # (P, 6)
@@ -68,4 +67,4 @@ def composite_tiles_ref(
         (accum, T, _), _ = jax.lax.scan(step, init, (quad, color))
         return accum, T
 
-    return jax.lax.map(lambda args: one_tile(*args), (tile_quad, tile_color, tile_origin))
+    return jax.lax.map(lambda args: one_tile(*args), (tile_quad, tile_color))

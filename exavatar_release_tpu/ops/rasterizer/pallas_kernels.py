@@ -1,0 +1,319 @@
+"""Pallas TPU kernels: tiled 3DGS alpha compositing, forward + backward.
+
+Replaces renderCUDA fwd/bwd of the reference's external CUDA rasterizer
+(diff-gaussian-rasterization-depth, consumed at reference
+avatar/common/nets/module.py:632-640) with an MXU-centric formulation:
+
+* Per-pixel Gaussian log-density is a quadratic q(px,py); a tile of P pixels
+  evaluates a chunk of G Gaussians as one (P×8)@(8×G) matmul on the MXU.
+* Front-to-back transmittance is computed in log space; the per-chunk
+  exclusive prefix sum of log(1−α) is ANOTHER matmul against a constant
+  triangular matrix, so the sequential compositing recurrence also rides the
+  MXU. Only exp/log1p touch the VPU.
+* CUDA's sticky early termination (a Gaussian whose test_T = T·(1−α) < 1e-4
+  is skipped and the pixel is done) is reproduced exactly with a cumulative-
+  OR, also expressed as a triangular matmul.
+* The backward pass re-derives dL/dα with the prefix-sum identity
+  dL/dα_i = T_i·(c_i·g) − (A_p − P_i)/(1−α_i), where A_p is computed from the
+  forward outputs, so no per-Gaussian transmittance needs to be stored.
+  Matches CUDA's convention of differentiating through the UNCLAMPED
+  α = exp(q) even when the forward clamped at 0.99.
+
+Inputs are pre-gathered per tile: tile_quad (T, K, 8) tile-local quadratic
+coefficients, tile_color (T, K, 4) = [r, g, b, depth]. Dead/padded rows carry
+log_op = −1e9 so they contribute exactly zero. tile_counts drives a dynamic
+chunk-loop bound so mostly-empty tiles cost almost nothing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+_TERM_EPS = 1e-4  # CUDA early-termination threshold on transmittance
+_ALPHA_MIN = 1.0 / 255.0
+_ALPHA_MAX = 0.99
+
+
+def _pixel_basis(th: int, tw: int) -> jnp.ndarray:
+    """(P, 8) polynomial basis at tile-local pixel coords, row-major."""
+    P = th * tw
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (i % tw).astype(F32)
+    py = (i // tw).astype(F32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate([one, px, py, px * px, px * py, py * py, zero, zero], 1)
+
+
+def _tri_matrices(chunk: int):
+    """Strictly-lower (j<i) and inclusive-lower (j<=i) (chunk,chunk) f32."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    excl = (j < i).astype(F32)
+    incl = (j <= i).astype(F32)
+    return excl, incl
+
+
+def _chunk_alphas(basis, quad, color=None):
+    """Shared fwd/bwd chunk math: (alpha, alpha_unclamped_valid, q)."""
+    # q[p, k] = basis[p, :] · quad[k, :6]
+    q = jax.lax.dot_general(
+        basis,
+        quad,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=F32,
+    )  # (P, G)
+    log_op = quad[:, 6].reshape(1, -1)
+    alpha_un = jnp.exp(q)
+    valid = (q <= log_op) & (alpha_un >= _ALPHA_MIN)
+    alpha = jnp.where(valid, jnp.minimum(alpha_un, _ALPHA_MAX), 0.0)
+    alpha_un_valid = jnp.where(valid, alpha_un, 0.0)
+    return alpha, alpha_un_valid
+
+
+def _forward_kernel(
+    count_ref,  # SMEM (1, 1) int32
+    quad_ref,  # VMEM (1, K, 8)
+    color_ref,  # VMEM (1, K, 4)
+    accum_ref,  # out VMEM (1, P, 4)
+    tfinal_ref,  # out VMEM (1, P, 1)
+    acc,  # scratch VMEM (P, 4)
+    tcarry,  # scratch VMEM (P, 1)
+    done,  # scratch VMEM (P, 1) 0/1
+    *,
+    th: int,
+    tw: int,
+    K: int,
+    chunk: int,
+):
+    P = th * tw
+    basis = _pixel_basis(th, tw)
+    m_excl, m_incl = _tri_matrices(chunk)
+
+    acc[:] = jnp.zeros((P, 4), F32)
+    tcarry[:] = jnp.ones((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0], K), chunk)
+
+    def body(ci, _):
+        sl = pl.ds(ci * chunk, chunk)
+        quad = quad_ref[0, sl, :]
+        color = color_ref[0, sl, :]
+        alpha, _ = _chunk_alphas(basis, quad)
+
+        # raw prefix transmittance within chunk (exclusive), in log space
+        wlog = jnp.log1p(-alpha)
+        cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+        T_raw = jnp.exp(cum_excl) * tcarry[:]  # (P, G)
+
+        # CUDA sticky early termination: first k with T·(1−α) < eps kills the
+        # pixel from k onwards (inclusive). Trigger positions computed from
+        # raw T coincide with effective T up to the first trigger.
+        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+        hit = jnp.dot(trigger, m_incl, preferred_element_type=F32)  # #triggers ≤ k
+        dead = jnp.maximum(hit, done[:])  # ≥1 → pixel done at this k
+        alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+
+        w = alpha_eff * T_raw
+        acc[:] += jnp.dot(w, color, preferred_element_type=F32)
+        wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+
+    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+
+    accum_ref[0] = acc[:]
+    tfinal_ref[0] = tcarry[:]
+
+
+def _backward_kernel(
+    count_ref,  # SMEM (1, 1) int32
+    quad_ref,  # VMEM (1, K, 8)
+    color_ref,  # VMEM (1, K, 4)
+    gacc_ref,  # VMEM (1, P, 4) cotangent of accum
+    gtf_ref,  # VMEM (1, P, 1) cotangent of tfinal
+    atot_ref,  # VMEM (1, P, 1) A_p = g_acc·accum + g_tf·tfinal
+    dquad_ref,  # out VMEM (1, K, 8)
+    dcolor_ref,  # out VMEM (1, K, 4)
+    tcarry,  # scratch VMEM (P, 1)
+    pcarry,  # scratch VMEM (P, 1)
+    done,  # scratch VMEM (P, 1)
+    *,
+    th: int,
+    tw: int,
+    K: int,
+    chunk: int,
+):
+    P = th * tw
+    basis = _pixel_basis(th, tw)
+    m_excl, m_incl = _tri_matrices(chunk)
+
+    tcarry[:] = jnp.ones((P, 1), F32)
+    pcarry[:] = jnp.zeros((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+    dquad_ref[0] = jnp.zeros((K, 8), F32)
+    dcolor_ref[0] = jnp.zeros((K, 4), F32)
+
+    g_acc = gacc_ref[0]  # (P, 4)
+    A_p = atot_ref[0]  # (P, 1)
+
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0], K), chunk)
+
+    def body(ci, _):
+        sl = pl.ds(ci * chunk, chunk)
+        quad = quad_ref[0, sl, :]
+        color = color_ref[0, sl, :]
+        alpha, alpha_un = _chunk_alphas(basis, quad)
+
+        wlog = jnp.log1p(-alpha)
+        cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+        T_raw = jnp.exp(cum_excl) * tcarry[:]
+
+        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+        hit = jnp.dot(trigger, m_incl, preferred_element_type=F32)
+        dead = jnp.maximum(hit, done[:])
+        alive = dead == 0.0
+        alpha_eff = jnp.where(alive, alpha, 0.0)
+        w = alpha_eff * T_raw
+
+        # cg[p, k] = color_k · g_acc_p
+        cg = jax.lax.dot_general(
+            g_acc, color, (((1,), (1,)), ((), ())), preferred_element_type=F32
+        )  # (P, G)
+        wcg = w * cg
+        P_incl = pcarry[:] + jnp.dot(wcg, m_incl, preferred_element_type=F32)
+        # dL/dα_i = T_i·cg_i − (A_p − P_i)/(1−α_i)
+        dalpha = jnp.where(
+            alive,
+            T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+            0.0,
+        )
+        # CUDA convention: d(alpha)/d(q) = exp(q) even past the 0.99 clamp
+        dq = dalpha * alpha_un  # (P, G)
+
+        # accumulate parameter gradients on the MXU
+        dquad_chunk = jax.lax.dot_general(
+            dq, basis, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )  # (G, 8)
+        # zero the log_op lane (index 6): gradient flows via c0 only
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
+        dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
+        dcolor_chunk = jax.lax.dot_general(
+            w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
+        )  # (G, 4)
+        dquad_ref[0, sl, :] = dquad_chunk
+        dcolor_ref[0, sl, :] = dcolor_chunk
+
+        pcarry[:] += jnp.sum(wcg, axis=1, keepdims=True)
+        wlog_eff = jnp.where(alive, wlog, 0.0)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+
+    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+
+    # cotangent of tfinal: Tf = tcarry · Π — handled analytically:
+    # dL/dα_i gets −g_tf·Tf/(1−α_i), already folded into A_p via
+    # A_p = g_acc·accum + g_tf·tfinal (the Σ_{j>i} suffix identity).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+)
+def composite_tiles_fwd(
+    tile_quad: jnp.ndarray,
+    tile_color: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    tile_shape: Tuple[int, int],
+    chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    T, K, _ = tile_quad.shape
+    th, tw = tile_shape
+    P = th * tw
+    kern = functools.partial(_forward_kernel, th=th, tw=tw, K=K, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, 4), F32),
+            jax.ShapeDtypeStruct((T, P, 1), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+        interpret=interpret,
+    )(tile_counts.reshape(T, 1).astype(jnp.int32), tile_quad, tile_color)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+)
+def composite_tiles_bwd(
+    tile_quad: jnp.ndarray,
+    tile_color: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    g_accum: jnp.ndarray,
+    g_tfinal: jnp.ndarray,
+    accum: jnp.ndarray,
+    tfinal: jnp.ndarray,
+    tile_shape: Tuple[int, int],
+    chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    T, K, _ = tile_quad.shape
+    th, tw = tile_shape
+    P = th * tw
+    # A_p = g_acc·accum + g_tf·tfinal (total downstream weight per pixel)
+    a_tot = jnp.sum(g_accum * accum, axis=-1, keepdims=True) + g_tfinal * tfinal
+    kern = functools.partial(_backward_kernel, th=th, tw=tw, K=K, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, K, 8), F32),
+            jax.ShapeDtypeStruct((T, K, 4), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+        interpret=interpret,
+    )(
+        tile_counts.reshape(T, 1).astype(jnp.int32),
+        tile_quad,
+        tile_color,
+        g_accum,
+        g_tfinal,
+        a_tot,
+    )

@@ -33,12 +33,38 @@ from ...core.geometry import covariance_from_scale_quat
 class ScreenGaussians(NamedTuple):
     """Per-Gaussian screen-space quantities (all shapes lead with N)."""
 
-    quad: jnp.ndarray  # (N, 8) [c0+log_op, c1, c2, c3, c4, c5, log_op, 0]
+    params: jnp.ndarray  # (N, 8) [conic_a, conic_b, conic_c, gx, gy, log_op, 0, 0]
     color: jnp.ndarray  # (N, 4) [r, g, b, depth]
     mean2d: jnp.ndarray  # (N, 2) pixel coords
     depth: jnp.ndarray  # (N,) view-space z
     radius: jnp.ndarray  # (N,) float screen-space radius (0 for culled)
     in_frustum: jnp.ndarray  # (N,) bool
+
+
+def pack_tile_quads(params: jnp.ndarray, origins: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile-local quadratic coefficients from gathered conic params.
+
+    params: (..., 8) rows [A, B, C, gx, gy, log_op, _, _] (already gathered per
+    tile); origins: broadcastable (..., 2) float pixel origin of each tile.
+    Returns (..., 8) rows [c0, c1, c2, c3, c4, c5, log_op, 0] such that
+    q(px, py) = c0 + c1·px + c2·py + c3·px² + c4·px·py + c5·py² equals
+    log_op − 0.5·mahalanobis² at tile-LOCAL pixel coords (px, py).
+
+    Tile-local evaluation is a numerical necessity on TPU: in global pixel
+    coordinates px² reaches ~4e6 at 1080p and the f32 quadratic cancels
+    catastrophically; local coordinates keep every term small.
+    """
+    A, B, C = params[..., 0], params[..., 1], params[..., 2]
+    gx = params[..., 3] - origins[..., 0]
+    gy = params[..., 4] - origins[..., 1]
+    log_op = params[..., 5]
+    c3 = -0.5 * A
+    c4 = -B
+    c5 = -0.5 * C
+    c1 = A * gx + B * gy
+    c2 = B * gx + C * gy
+    c0 = -0.5 * (A * gx * gx + 2.0 * B * gx * gy + C * gy * gy) + log_op
+    return jnp.stack([c0, c1, c2, c3, c4, c5, log_op, jnp.zeros_like(c0)], axis=-1)
 
 
 def project_gaussians(
@@ -122,27 +148,24 @@ def project_gaussians(
     visible = in_front & det_ok & (live if live is not None else True)
     radius = jnp.where(visible, radius, 0.0)
 
-    # --- quadratic packing ---------------------------------------------------
-    # power(p) = -0.5·A·dx² - B·dx·dy - 0.5·C·dy², d = p - mean2d
-    A, B, C = conic_a, conic_b, conic_c
-    gx, gy = mean2d[:, 0], mean2d[:, 1]
+    # --- conic packing --------------------------------------------------------
+    # power(p) = -0.5·A·dx² - B·dx·dy - 0.5·C·dy², d = p - mean2d;
+    # per-tile-local quadratic coefficients are derived later by
+    # ``pack_tile_quads`` (tile-local coords avoid f32 cancellation).
     log_op = jnp.log(jnp.clip(opacities[:, 0].astype(f32), 1e-12, 1.0))
-    c3 = -0.5 * A
-    c4 = -B
-    c5 = -0.5 * C
-    c1 = A * gx + B * gy
-    c2 = B * gx + C * gy
-    c0 = -0.5 * (A * gx * gx + 2.0 * B * gx * gy + C * gy * gy) + log_op
     # dead rows: drive alpha to 0 by -inf-ish bias (finite to avoid NaN grads)
-    c0 = jnp.where(visible, c0, -1e9)
-    quad = jnp.stack(
-        [c0, c1, c2, c3, c4, c5, log_op, jnp.zeros_like(c0)], axis=1
+    log_op_eff = jnp.where(visible, log_op, -1e9)
+    zeros = jnp.zeros_like(log_op)
+    params = jnp.stack(
+        [conic_a, conic_b, conic_c, mean2d[:, 0], mean2d[:, 1], log_op_eff,
+         zeros, zeros],
+        axis=1,
     )
     color = jnp.concatenate(
         [rgbs.astype(f32), depth[:, None].astype(f32)], axis=1
     )
     return ScreenGaussians(
-        quad=quad,
+        params=params,
         color=color,
         mean2d=mean2d,
         depth=depth,

@@ -14,8 +14,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# A sitecustomize may have imported jax at interpreter start with
+# JAX_PLATFORMS=<tpu plugin>; the config snapshot wins over os.environ, so
+# force the platform through the live config (backends are not yet built).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 @pytest.fixture
