@@ -1,0 +1,82 @@
+"""Brute-force K-nearest-neighbour search, TPU-native.
+
+Replaces pytorch3d ``knn_points`` (used at reference
+avatar/common/nets/module.py:86 with K=4 for scene scale init and
+module.py:543 with K=1 for skinning-weight lookup).
+
+Design: distance matrices are computed in query chunks as
+``||q||² - 2 q·rᵀ + ||r||²`` so the inner product runs on the MXU, and
+top-k runs per chunk. Chunking bounds the (Q, R) distance matrix to
+(chunk, R) so HBM stays bounded for Q ≈ R ≈ 167k (the upsampled SMPL-X
+vertex count).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KNNResult(NamedTuple):
+    dists: jnp.ndarray  # (Q, K) squared distances, ascending
+    idx: jnp.ndarray  # (Q, K) int32 indices into the reference set
+
+
+def knn(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    k: int,
+    chunk: int = 4096,
+    ref_mask: Optional[jnp.ndarray] = None,
+) -> KNNResult:
+    """K nearest neighbours of each query point among reference points.
+
+    query: (Q, D); ref: (R, D); returns squared L2 distances like
+    pytorch3d's knn_points. ``ref_mask`` (R,) bool excludes dead rows
+    (fixed-capacity buffers) by pushing their distance to +inf.
+    """
+    Q, D = query.shape
+    R = ref.shape[0]
+    k = min(k, R)
+
+    ref = ref.astype(jnp.float32)
+    query = query.astype(jnp.float32)
+    r_sq = jnp.sum(ref * ref, axis=1)  # (R,)
+    if ref_mask is not None:
+        r_penalty = jnp.where(ref_mask, 0.0, jnp.inf)
+    else:
+        r_penalty = None
+
+    # pad queries to a chunk multiple for a static scan
+    n_chunks = -(-Q // chunk)
+    pad = n_chunks * chunk - Q
+    q_pad = jnp.pad(query, ((0, pad), (0, 0)))
+    q_chunks = q_pad.reshape(n_chunks, chunk, D)
+
+    def body(carry, q):
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)  # (c, 1)
+        # MXU: (c, D) @ (D, R)
+        d2 = q_sq - 2.0 * jnp.dot(q, ref.T, preferred_element_type=jnp.float32) + r_sq[None, :]
+        d2 = jnp.maximum(d2, 0.0)
+        if r_penalty is not None:
+            d2 = d2 + r_penalty[None, :]
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return carry, (-neg_top, idx.astype(jnp.int32))
+
+    _, (dists, idx) = jax.lax.scan(body, None, q_chunks)
+    dists = dists.reshape(n_chunks * chunk, k)[:Q]
+    idx = idx.reshape(n_chunks * chunk, k)[:Q]
+    return KNNResult(dists=dists, idx=idx)
+
+
+def mean_knn_dist_sq(points: jnp.ndarray, k: int = 4, chunk: int = 4096,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean squared distance to the k-1 nearest *other* points.
+
+    The 3DGS scale-init statistic (reference module.py:86-89: knn K=4,
+    mean over the 3 non-self neighbours), clamped to >= 1e-7.
+    """
+    res = knn(points, points, k, chunk=chunk, ref_mask=mask)
+    d = jnp.mean(res.dists[:, 1:], axis=1)  # drop self-match
+    return jnp.maximum(d, 1e-7)
