@@ -1,0 +1,174 @@
+"""LPIPS perceptual distance (VGG16 / AlexNet backbones) in pure JAX.
+
+Replaces the reference's ``lpips`` package usage (reference
+avatar/common/nets/loss.py:80-97, net='vgg') and the torchmetrics
+LPIPS-alex eval metric (reference avatar/tools/eval_neuman.py:28). The
+backbone is expressed as plain conv pytrees; pretrained torchvision weights
+convert offline with ``convert_torch_lpips`` (no network access assumed at
+runtime — weights load from an .npz the user produces once).
+
+Semantics (lpips v0.1): input in [-1, 1], imagenet-style shift/scale,
+backbone features at 5 taps, channel-unit-normalization, 1x1 linear heads,
+spatial mean, sum over taps.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# lpips scaling layer constants (lpips/lpips.py ScalingLayer)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# VGG16 conv plan: (out_channels, layers_in_block); taps after each block's relu
+VGG16_PLAN: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+ALEX_PLAN = "alex"  # handled separately
+
+
+class LPIPSParams(NamedTuple):
+    conv_weights: Tuple[jnp.ndarray, ...]  # each (O, I, kh, kw)
+    conv_biases: Tuple[jnp.ndarray, ...]
+    lin_weights: Tuple[jnp.ndarray, ...]  # 5 heads, each (C_tap,)
+    net: str  # 'vgg' | 'alex'
+
+
+def _conv(x, w, b, stride=1, padding=1):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(padding, padding)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + b[None, :, None, None]
+
+
+def _maxpool(x, k=2, s=2):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID"
+    )
+
+
+def vgg16_features(params: LPIPSParams, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """x: (N, 3, H, W) -> 5 tap activations (after the last relu per block)."""
+    taps = []
+    i = 0
+    for block, (ch, n_layers) in enumerate(VGG16_PLAN):
+        for _ in range(n_layers):
+            x = jax.nn.relu(_conv(x, params.conv_weights[i], params.conv_biases[i]))
+            i += 1
+        taps.append(x)
+        if block < len(VGG16_PLAN) - 1:
+            x = _maxpool(x)
+    return taps
+
+
+def alexnet_features(params: LPIPSParams, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """torchvision AlexNet.features taps after each of the 5 relus."""
+    w, b = params.conv_weights, params.conv_biases
+    taps = []
+    x = jax.nn.relu(_conv(x, w[0], b[0], stride=4, padding=2))
+    taps.append(x)
+    x = _maxpool(x, 3, 2)
+    x = jax.nn.relu(_conv(x, w[1], b[1], padding=2))
+    taps.append(x)
+    x = _maxpool(x, 3, 2)
+    x = jax.nn.relu(_conv(x, w[2], b[2], padding=1))
+    taps.append(x)
+    x = jax.nn.relu(_conv(x, w[3], b[3], padding=1))
+    taps.append(x)
+    x = jax.nn.relu(_conv(x, w[4], b[4], padding=1))
+    taps.append(x)
+    return taps
+
+
+def _unit_normalize(feat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(feat * feat, axis=1, keepdims=True))
+    return feat / (norm + eps)
+
+
+def lpips_distance(
+    params: LPIPSParams,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LPIPS distance between (3, H, W) images in [-1, 1]; returns scalar.
+
+    ``mask`` (H, W): masked spatial mean of each tap's distance map
+    (static-shape replacement for the reference's bbox crop,
+    loss.py:86-93 — see image_metrics.bbox_mask).
+    """
+    x = jnp.stack([img0, img1], axis=0)  # (2, 3, H, W)
+    x = (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+    feats = (vgg16_features if params.net == "vgg" else alexnet_features)(params, x)
+    total = 0.0
+    for tap, lin_w in zip(feats, params.lin_weights):
+        f0 = _unit_normalize(tap[0:1])
+        f1 = _unit_normalize(tap[1:2])
+        diff = (f0 - f1) ** 2  # (1, C, h, w)
+        dist = jnp.sum(diff * jnp.maximum(lin_w, 0.0)[None, :, None, None], axis=1)[0]
+        if mask is not None:
+            # downsample mask to tap resolution by average pooling
+            h, w = dist.shape
+            m = jax.image.resize(mask, (h, w), "linear")
+            total = total + jnp.sum(dist * m) / jnp.maximum(jnp.sum(m), 1.0)
+        else:
+            total = total + jnp.mean(dist)
+    return total
+
+
+def init_lpips_random(key: jax.Array, net: str = "vgg") -> LPIPSParams:
+    """Deterministic random-weight LPIPS (architecture-correct; for tests and
+    for running without the converted pretrained weights)."""
+    ws, bs = [], []
+    if net == "vgg":
+        cin = 3
+        shapes = []
+        for ch, n_layers in VGG16_PLAN:
+            for _ in range(n_layers):
+                shapes.append((ch, cin, 3, 3))
+                cin = ch
+        tap_dims = [ch for ch, _ in VGG16_PLAN]
+    else:
+        shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+                  (256, 384, 3, 3), (256, 256, 3, 3)]
+        tap_dims = [64, 192, 384, 256, 256]
+    keys = jax.random.split(key, len(shapes) + len(tap_dims))
+    for i, s in enumerate(shapes):
+        fan_in = s[1] * s[2] * s[3]
+        ws.append(jax.random.normal(keys[i], s) * (2.0 / fan_in) ** 0.5)
+        bs.append(jnp.zeros((s[0],)))
+    lins = tuple(
+        jax.nn.relu(jax.random.normal(keys[len(shapes) + i], (d,))) * 0.1 + 0.01
+        for i, d in enumerate(tap_dims)
+    )
+    return LPIPSParams(tuple(ws), tuple(bs), lins, net)
+
+
+def load_lpips(npz_path: str) -> LPIPSParams:
+    """Load weights converted by ``convert_torch_lpips``."""
+    d = np.load(npz_path)
+    n_conv = int(d["n_conv"])
+    ws = tuple(jnp.asarray(d[f"conv_w_{i}"]) for i in range(n_conv))
+    bs = tuple(jnp.asarray(d[f"conv_b_{i}"]) for i in range(n_conv))
+    lins = tuple(jnp.asarray(d[f"lin_{i}"]) for i in range(5))
+    return LPIPSParams(ws, bs, lins, str(d["net"]))
+
+
+def convert_torch_lpips(out_path: str, net: str = "vgg") -> None:
+    """One-time offline conversion of lpips-package weights to .npz.
+
+    Requires the ``lpips`` pip package with its pretrained weights available
+    (run in an environment with network/weights; this repo runs without)."""
+    import lpips as lpips_pkg  # type: ignore
+
+    model = lpips_pkg.LPIPS(net=net)
+    convs = [m for m in model.net.modules() if m.__class__.__name__ == "Conv2d"]
+    out = {"n_conv": len(convs), "net": net}
+    for i, c in enumerate(convs):
+        out[f"conv_w_{i}"] = c.weight.detach().numpy()
+        out[f"conv_b_{i}"] = c.bias.detach().numpy()
+    for i, lin in enumerate(model.lins):
+        out[f"lin_{i}"] = lin.model[-1].weight.detach().numpy().reshape(-1)
+    np.savez(out_path, **out)

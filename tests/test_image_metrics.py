@@ -1,0 +1,150 @@
+"""SSIM/PSNR/LPIPS differential tests vs torch transcriptions."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exavatar_release_tpu.ops.image_metrics import (
+    bbox_mask,
+    masked_mean,
+    psnr,
+    ssim_map,
+)
+from exavatar_release_tpu.ops.lpips import (
+    init_lpips_random,
+    lpips_distance,
+    vgg16_features,
+)
+
+
+def _torch_ssim(img_out, img_target, mask=None, window_size=11):
+    """Transcription of the reference SSIM (avatar/common/nets/loss.py:32-77)."""
+    import math
+    import torch
+    import torch.nn.functional as F
+
+    img_out = torch.from_numpy(img_out)[None]
+    img_target = torch.from_numpy(img_target)[None]
+    feat_dim = img_out.shape[1]
+    if mask is not None:
+        m = torch.from_numpy(mask)[None, None]
+        img_out = img_out * m
+        img_target = img_target * m
+    gauss = torch.FloatTensor(
+        [math.exp(-(x - window_size // 2) ** 2 / (2 * 1.5 ** 2)) for x in range(window_size)]
+    )
+    gauss = gauss / gauss.sum()
+    w1d = gauss[:, None]
+    w2d = (w1d @ w1d.T)[None, None].repeat(feat_dim, 1, 1, 1)
+    pad = window_size // 2
+    conv = lambda x: F.conv2d(x, w2d, padding=pad, groups=feat_dim)
+    mu1, mu2 = conv(img_out), conv(img_target)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = conv(img_out * img_out) - mu1_sq
+    s2 = conv(img_target * img_target) - mu2_sq
+    s12 = conv(img_out * img_target) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return ssim[0].numpy()
+
+
+class TestSSIM:
+    def test_vs_reference_transcription(self, rng):
+        a = rng.uniform(0, 1, (3, 32, 40)).astype(np.float32)
+        b = rng.uniform(0, 1, (3, 32, 40)).astype(np.float32)
+        out = ssim_map(jnp.asarray(a), jnp.asarray(b))
+        expect = _torch_ssim(a, b)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+    def test_masked(self, rng):
+        a = rng.uniform(0, 1, (3, 24, 24)).astype(np.float32)
+        b = rng.uniform(0, 1, (3, 24, 24)).astype(np.float32)
+        m = (rng.uniform(size=(24, 24)) > 0.5).astype(np.float32)
+        out = ssim_map(jnp.asarray(a), jnp.asarray(b), mask=jnp.asarray(m))
+        expect = _torch_ssim(a, b, mask=m)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+    def test_identical_images(self, rng):
+        a = rng.uniform(0, 1, (3, 16, 16)).astype(np.float32)
+        out = ssim_map(jnp.asarray(a), jnp.asarray(a))
+        assert float(out.mean()) > 0.999
+
+
+class TestPSNRBBox:
+    def test_psnr_known_value(self):
+        a = jnp.zeros((3, 8, 8))
+        b = jnp.full((3, 8, 8), 0.1)
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_bbox_mask(self):
+        m = bbox_mask((10, 12), jnp.asarray([2.0, 3.0, 4.0, 5.0]))
+        assert m.shape == (10, 12)
+        assert float(m.sum()) == 4 * 5
+        assert float(m[3, 2]) == 1.0 and float(m[2, 2]) == 0.0
+        # clamps at borders like the reference (loss.py:20-24)
+        m2 = bbox_mask((10, 12), jnp.asarray([-3.0, -3.0, 6.0, 6.0]))
+        assert float(m2.sum()) == 3 * 3
+
+    def test_masked_mean_equals_crop_mean(self, rng):
+        x = rng.uniform(0, 1, (3, 10, 12)).astype(np.float32)
+        bbox = [2, 3, 4, 5]
+        m = bbox_mask((10, 12), jnp.asarray(bbox, jnp.float32))
+        mm = masked_mean(jnp.asarray(x), m)
+        crop = x[:, 3:8, 2:6]
+        np.testing.assert_allclose(float(mm), crop.mean(), rtol=1e-5)
+
+
+class TestLPIPS:
+    def test_vgg_features_vs_torch(self, rng):
+        """The JAX VGG16 feature extractor must match torchvision's
+        architecture given identical weights."""
+        import torch
+
+        params = init_lpips_random(jax.random.PRNGKey(0), "vgg")
+        x = rng.uniform(-1, 1, (1, 3, 33, 37)).astype(np.float32)
+        taps = vgg16_features(params, jnp.asarray(x))
+
+        # torch replica of torchvision vgg16.features tap structure
+        layers = []
+        plan = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+        i = 0
+        tap_idx = []
+        cin = 3
+        for b, (ch, n) in enumerate(plan):
+            for _ in range(n):
+                conv = torch.nn.Conv2d(cin, ch, 3, padding=1)
+                with torch.no_grad():
+                    conv.weight.copy_(torch.from_numpy(np.asarray(params.conv_weights[i])))
+                    conv.bias.copy_(torch.from_numpy(np.asarray(params.conv_biases[i])))
+                layers += [conv, torch.nn.ReLU()]
+                cin = ch
+                i += 1
+            tap_idx.append(len(layers) - 1)
+            if b < 4:
+                layers.append(torch.nn.MaxPool2d(2, 2))
+        net = torch.nn.Sequential(*layers)
+        feats = []
+        h = torch.from_numpy(x)
+        for j, layer in enumerate(net):
+            h = layer(h)
+            if j in tap_idx:
+                feats.append(h.detach().numpy())
+        for tap, expect in zip(taps, feats):
+            np.testing.assert_allclose(np.asarray(tap), expect, atol=2e-4)
+
+    def test_lpips_properties(self, rng):
+        params = init_lpips_random(jax.random.PRNGKey(1), "vgg")
+        a = jnp.asarray(rng.uniform(-1, 1, (3, 64, 64)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (3, 64, 64)).astype(np.float32))
+        d_aa = float(lpips_distance(params, a, a))
+        d_ab = float(lpips_distance(params, a, b))
+        assert d_aa < 1e-6
+        assert d_ab > d_aa
+        g = jax.grad(lambda x: lpips_distance(params, x, b))(a)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_alex_variant(self, rng):
+        params = init_lpips_random(jax.random.PRNGKey(2), "alex")
+        a = jnp.asarray(rng.uniform(-1, 1, (3, 64, 64)).astype(np.float32))
+        b = a.at[:, 10:20, 10:20].add(0.5)
+        assert float(lpips_distance(params, a, b)) > 0
