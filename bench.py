@@ -1,0 +1,112 @@
+"""Benchmark: 3DGS rasterizer fwd+bwd throughput on the current backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures rays/s (pixels/s) through the full differentiable pipeline
+(project -> bin -> Pallas composite fwd+bwd) at 1080p-class load on TPU
+(reduced size on CPU so the run stays fast). ``vs_baseline`` is measured
+against BASELINE.json's speed-of-light framing: value is the fraction of
+the HBM-bandwidth roofline for the compositing pass (bytes moved / peak BW)
+— 1.0 means the kernel is at speed of light.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # plugin backend (tunnel) failed to init — re-exec letting jax pick
+        if os.environ.get("JAX_PLATFORMS"):
+            os.environ["JAX_PLATFORMS"] = ""
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+    on_tpu = backend == "tpu"
+
+    from exavatar_release_tpu.core.camera import Camera
+    from exavatar_release_tpu.ops.rasterizer.api import RasterizeSettings, rasterize
+
+    if on_tpu:
+        H, W = 1088, 1920  # 1080p rounded to tile multiples
+        n = 100_000
+        settings = RasterizeSettings(backend="pallas", max_per_tile=1024)
+        iters = 10
+    else:
+        H, W = 256, 256
+        n = 4_000
+        settings = RasterizeSettings(backend="pallas", max_per_tile=256)
+        iters = 2
+
+    rng = np.random.default_rng(0)
+    z = rng.uniform(2.0, 6.0, (n, 1)).astype(np.float32)
+    focal = 1000.0 if on_tpu else 300.0
+    x = rng.uniform(-0.5, 0.5, (n, 1)).astype(np.float32) * (W / focal) * z
+    y = rng.uniform(-0.5, 0.5, (n, 1)).astype(np.float32) * (H / focal) * z
+    means = jnp.asarray(np.concatenate([x, y, z], 1))
+    scales = jnp.asarray(
+        np.exp(rng.uniform(np.log(0.01), np.log(0.05), (n, 3))).astype(np.float32)
+    )
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = jnp.asarray(quats)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, (n, 1)).astype(np.float32))
+    rgbs = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    live = jnp.ones((n,), bool)
+    cam = Camera(
+        R=jnp.eye(3), t=jnp.zeros(3),
+        focal=jnp.asarray([focal, focal]),
+        princpt=jnp.asarray([W / 2.0, H / 2.0]),
+    )
+    bg = jnp.zeros(3)
+
+    def loss(means, scales, quats, opac, rgbs):
+        r = rasterize(means, scales, quats, opac, rgbs, live, cam, (H, W), bg, settings)
+        return jnp.sum(r["img"]) + jnp.sum(r["mask"]) + jnp.sum(r["depth"])
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # warmup/compile
+    out = step(means, scales, quats, opac, rgbs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(means, scales, quats, opac, rgbs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = H * W / dt
+
+    # speed-of-light fraction: compositing fwd+bwd must move the tile-packed
+    # Gaussian payloads (K rows x 12 f32 per tile, read twice fwd+bwd) plus
+    # images; ratio of that traffic to measured time x peak HBM BW
+    th, tw = settings.tile_h, settings.tile_w
+    tiles = -(-H // th) * (-(-W // tw))
+    bytes_tiles = tiles * settings.max_per_tile * (8 + 4) * 4
+    bytes_imgs = H * W * 5 * 4
+    total_bytes = 2 * bytes_tiles + 2 * bytes_imgs  # fwd read + bwd read/write
+    peak_bw = 1.2e12 if on_tpu else 5e10  # v5p-class HBM vs CPU memory
+    sol_time = total_bytes / peak_bw
+    vs_baseline = sol_time / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"3dgs_fwd_bwd_rays_per_s_{backend}_{H}x{W}_{n}g",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Avatar training CLI (reference avatar/main/train.py).
+
+python -m exavatar_release_tpu.apps.train --subject_root <dir>
+    [--human_model_path <dir>] [--fit_pose_to_test] [--continue_train]
+    [--epochs N] [--out_dir <dir>]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subject_root", required=True)
+    ap.add_argument("--human_model_path", default=None)
+    ap.add_argument("--fit_pose_to_test", action="store_true")
+    ap.add_argument("--continue_train", action="store_true")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--repeat", type=int, default=100)
+    ap.add_argument("--out_dir", default="output")
+    ap.add_argument("--lpips_weights", default=None)
+    ap.add_argument("--scene_capacity", type=int, default=1 << 17)
+    ap.add_argument("--gender", default="male")
+    ap.add_argument("--triplane_ch", type=int, default=32)
+    ap.add_argument("--triplane_res", type=int, default=128)
+    ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
+    ap.add_argument("--max_itrs", type=int, default=None, help="debug cap")
+    args = ap.parse_args()
+
+    from ..avatar.config import AvatarConfig
+    from ..data.subject import load_frame_arrays, load_subject
+    from ..models.smplx.flame import load_flame_uv
+    from ..ops.rasterizer.api import RasterizeSettings
+    from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from ..train.loop import init_train_state, maybe_adjust_gaussians, train_step
+    from ..train.optim import make_optimizer
+    from ..utils import Timer, make_logger
+    from .common import build_prior_for, frame_to_device, subject_bundle
+
+    import dataclasses as _dc
+
+    cfg = AvatarConfig(
+        scene_capacity=args.scene_capacity,
+        triplane_ch=args.triplane_ch,
+        triplane_res=args.triplane_res,
+    )
+    if args.epochs is not None:
+        cfg = _dc.replace(cfg, end_epoch=args.epochs)
+    if args.fit_pose_to_test:
+        cfg = _dc.replace(cfg, smplx_param_lr=1e-3)
+
+    logger = make_logger(osp.join(args.out_dir, "log"), "train_logs.txt")
+    subject = load_subject(
+        args.subject_root,
+        split="test" if args.fit_pose_to_test else "train",
+        repeat=args.repeat,
+    )
+    prior = build_prior_for(args.human_model_path, args.gender)
+
+    # FLAME face mesh for the face render
+    if args.human_model_path is not None:
+        import numpy as _np
+
+        from ..models.smplx.flame import load_flame_assets
+
+        flame_assets = load_flame_assets(args.human_model_path)
+        vertex_uv, face_uv = load_flame_uv(args.human_model_path)
+        flame_faces = _np.asarray(flame_assets.faces)
+    else:
+        from .common import synthetic_face_mesh
+
+        flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+
+    trainables, scene_state, bundle, frame_row_of = subject_bundle(
+        subject, prior, cfg, flame_faces, vertex_uv, face_uv, args.lpips_weights
+    )
+
+    itr_per_epoch = len(subject.frame_ids)
+    tot_itr = cfg.end_epoch * itr_per_epoch
+    opt = make_optimizer(
+        trainables, cfg, float(subject.cam_dist_radius), tot_itr,
+        fit_pose_to_test=args.fit_pose_to_test,
+    )
+    state = init_train_state(trainables, scene_state.aux, opt)
+
+    model_dir = osp.join(args.out_dir, "model_dump")
+    start_epoch = 0
+    if args.continue_train:
+        ck = latest_checkpoint(model_dir)
+        if ck:
+            state, start_epoch = load_checkpoint(ck, state)
+            start_epoch += 1
+            logger.info(f"resumed from {ck}")
+
+    settings = RasterizeSettings(backend=args.raster_backend)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    tot_timer, gpu_timer, read_timer = Timer(), Timer(), Timer()
+
+    cur_itr = start_epoch * itr_per_epoch
+    for epoch in range(start_epoch, cfg.end_epoch):
+        order = rng.permutation(len(subject.frame_ids))
+        tot_timer.tic()
+        read_timer.tic()
+        for itr, k in enumerate(order):
+            frame_idx = subject.frame_ids[int(k)]
+            arrs = load_frame_arrays(subject, frame_idx)
+            arrs["frame_row"] = frame_row_of[frame_idx]
+            frame = frame_to_device(arrs)
+            read_timer.toc()
+
+            gpu_timer.tic()
+            key, sub = jax.random.split(key)
+            state, losses = train_step(
+                state, bundle, frame, sub, opt, cfg,
+                is_warmup=cfg.is_warmup(cur_itr),
+                fit_pose_to_test=args.fit_pose_to_test,
+                settings=settings,
+            )
+            key, sub = jax.random.split(key)
+            state, dstats = maybe_adjust_gaussians(
+                state, sub, cur_itr, cfg, args.fit_pose_to_test
+            )
+            gpu_timer.toc()
+
+            msg = [
+                f"Epoch {epoch}/{cfg.end_epoch} itr {itr}/{itr_per_epoch}:",
+                "speed: %.2f(%.2fs r%.2f)s/itr" % (
+                    tot_timer.average_time, gpu_timer.average_time,
+                    read_timer.average_time,
+                ),
+            ]
+            msg += [f"loss_{n}: {float(v):.4f}" for n, v in losses.items()]
+            if dstats is not None:
+                msg += [f"scene_live: {int(dstats['n_live'])}"]
+            logger.info(" ".join(msg))
+
+            tot_timer.toc()
+            tot_timer.tic()
+            read_timer.tic()
+            cur_itr += 1
+            if args.max_itrs is not None and cur_itr >= args.max_itrs:
+                break
+
+        save_checkpoint(model_dir, state, epoch)
+        logger.info(f"saved snapshot_{epoch}")
+
+
+if __name__ == "__main__":
+    main()

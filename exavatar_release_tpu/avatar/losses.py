@@ -1,0 +1,223 @@
+"""Avatar losses (reference avatar/common/nets/loss.py + weighting in
+avatar/main/model.py:195-257), as pure masked-mean functions.
+
+Key TPU redesign: the reference crops images to the per-frame human bbox —
+a dynamic shape. Here every loss map stays full-size and the bbox becomes a
+multiplicative mask with a masked mean (``ops.image_metrics.bbox_mask``),
+which is value-equivalent for L1/regularizer terms and equivalent up to
+window-boundary effects for SSIM/LPIPS. Part-vertex selections
+(hands/face/arms) become static index lists resolved at model build, so
+every loss is jit-stable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import vertex_normals
+from ..models.smplx.structs import SMPLX_JOINT_NAMES
+from ..ops.image_metrics import masked_mean, ssim_map
+from ..ops.lpips import LPIPSParams, lpips_distance
+
+
+# --------------------------------------------------------------------------
+# image-space losses
+# --------------------------------------------------------------------------
+
+
+def rgb_l1(
+    img_out: jnp.ndarray,
+    img_target: jnp.ndarray,
+    region_mask: Optional[jnp.ndarray] = None,
+    fg_mask: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """L1 loss (reference RGBLoss, loss.py:11-29): optional background
+    composition of the target (fg_mask + bg), then mean over ``region_mask``
+    (the bbox) or the full image. Images are (3, H, W)."""
+    if fg_mask is not None and bg is not None:
+        img_target = img_target * fg_mask + (1.0 - fg_mask) * bg[:, None, None]
+    return masked_mean(jnp.abs(img_out - img_target), region_mask)
+
+
+def rgb_l1_weighted_full(
+    img_out: jnp.ndarray, img_target: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """|err| * weight averaged over the FULL image — the scene-loss form
+    (reference model.py:214: rgb_loss(...) * (1-mask) then .mean())."""
+    return jnp.mean(jnp.abs(img_out - img_target) * weight)
+
+
+def ssim_loss(
+    img_out: jnp.ndarray,
+    img_target: jnp.ndarray,
+    region_mask: Optional[jnp.ndarray] = None,
+    mul_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(1 - SSIM) mean (reference model.py:198,215): ``mul_mask`` multiplies
+    the inputs before windowing (scene form, full-image mean); ``region_mask``
+    is the bbox masked mean (human form)."""
+    s = ssim_map(img_out, img_target, mask=mul_mask)
+    if mul_mask is not None:
+        return jnp.mean(1.0 - s)
+    return masked_mean(1.0 - s, region_mask)
+
+
+def lpips_loss(
+    lpips_params: LPIPSParams,
+    img_out: jnp.ndarray,
+    img_target: jnp.ndarray,
+    region_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LPIPS on [0,1] images (reference LPIPS wrapper, loss.py:80-97)."""
+    return lpips_distance(
+        lpips_params, img_out * 2.0 - 1.0, img_target * 2.0 - 1.0, mask=region_mask
+    )
+
+
+# --------------------------------------------------------------------------
+# vertex regularizers (static neighbor/part tables)
+# --------------------------------------------------------------------------
+
+
+def build_laplacian_neighbors(
+    faces: np.ndarray, vertex_num: int, neighbor_max: int = 10
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Adjacency table (reference LaplacianReg.get_neighbor, loss.py:100-121):
+    up to 10 neighbors per vertex, weight -1/num_neighbors, self-padded."""
+    adj = [set() for _ in range(vertex_num)]
+    for tri in np.asarray(faces):
+        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
+        adj[a] |= {b, c}
+        adj[b] |= {a, c}
+        adj[c] |= {a, b}
+    idxs = np.tile(np.arange(vertex_num)[:, None], (1, neighbor_max))
+    weights = np.zeros((vertex_num, neighbor_max), np.float32)
+    for v in range(vertex_num):
+        nb = list(adj[v])[:neighbor_max]
+        n = len(nb)
+        if n:
+            idxs[v, :n] = np.asarray(nb)
+            weights[v, :n] = -1.0 / n
+    return idxs.astype(np.int32), weights
+
+
+def laplacian(x: jnp.ndarray, neighbor_idxs: jnp.ndarray,
+              neighbor_weights: jnp.ndarray) -> jnp.ndarray:
+    """x + sum_j w_j x_j per vertex (reference loss.py:123-125). x: (V, C)."""
+    return x + jnp.sum(x[neighbor_idxs] * neighbor_weights[..., None], axis=1)
+
+
+def laplacian_reg(
+    x: jnp.ndarray,
+    target: Optional[jnp.ndarray],
+    neighbor_idxs: jnp.ndarray,
+    neighbor_weights: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Squared (relative) Laplacian, weighted mean (reference loss.py:127-136
+    with the weight maps of model.py:234-247)."""
+    lap = laplacian(x, neighbor_idxs, neighbor_weights)
+    if target is not None:
+        lap = lap - laplacian(target, neighbor_idxs, neighbor_weights)
+    sq = lap ** 2
+    if weight is not None:
+        sq = sq * weight[:, None]
+    return jnp.mean(sq)
+
+
+def symmetric_joint_pairs() -> Tuple[np.ndarray, np.ndarray]:
+    """(right_idx, left_idx) joint pairs (reference loss.py:141-147)."""
+    right, left = [], []
+    for j, name in enumerate(SMPLX_JOINT_NAMES):
+        if name.startswith("R_"):
+            right.append(j)
+            left.append(SMPLX_JOINT_NAMES.index("L_" + name[2:]))
+    return np.asarray(right, np.int32), np.asarray(left, np.int32)
+
+
+def joint_offset_symmetric_reg(joint_offset: jnp.ndarray,
+                               right_idx: jnp.ndarray,
+                               left_idx: jnp.ndarray) -> jnp.ndarray:
+    """Mirror-symmetry of joint offsets (reference loss.py:138-149): x
+    anti-symmetric, y/z symmetric."""
+    r = joint_offset[right_idx]
+    l = joint_offset[left_idx]
+    loss = (
+        jnp.abs(r[:, 0] + l[:, 0]) + jnp.abs(r[:, 1] - l[:, 1]) + jnp.abs(r[:, 2] - l[:, 2])
+    )
+    return jnp.mean(loss)
+
+
+def hand_mean_reg(
+    mesh_neutral_pose: jnp.ndarray,
+    offset: jnp.ndarray,
+    faces_hr: jnp.ndarray,
+    is_hand: jnp.ndarray,
+) -> jnp.ndarray:
+    """Penalize offsets pointing OUT of the hand surface (reference
+    HandMeanReg, loss.py:151-162): clamp(normal · normalize(offset), 0),
+    mean over hand vertices."""
+    normal = jax.lax.stop_gradient(
+        vertex_normals(mesh_neutral_pose, faces_hr)
+    )
+    # double-where: hand offsets are exactly zero early in training (the
+    # regressed branch is masked out there) and norm(0) NaNs the backward
+    degen = jnp.sum(offset * offset, axis=1, keepdims=True) < 1e-24
+    safe = jnp.where(degen, jnp.array([0.0, 0.0, 1.0]), offset)
+    off_n = jnp.where(
+        degen, 0.0, safe / jnp.linalg.norm(safe, axis=1, keepdims=True)
+    )
+    dot = jnp.sum(normal * off_n, axis=1)
+    loss = jnp.maximum(dot, 0.0)
+    m = is_hand.astype(jnp.float32)
+    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def hand_rgb_reg(rgb: jnp.ndarray, is_rhand: jnp.ndarray,
+                 is_lhand: jnp.ndarray) -> jnp.ndarray:
+    """Tie hand colors to the (detached) per-hand mean color (reference
+    HandRGBReg, loss.py:164-174)."""
+    def one(mask):
+        m = mask.astype(jnp.float32)[:, None]
+        mean = jax.lax.stop_gradient(
+            jnp.sum(rgb * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+        )
+        sq = (rgb - mean[None, :]) ** 2
+        return jnp.sum(sq * m) / jnp.maximum(jnp.sum(m) * rgb.shape[1], 1.0)
+
+    # reference sums the two hand terms elementwise then means; with equal
+    # counts this equals the sum of per-hand masked means
+    return one(is_rhand) + one(is_lhand)
+
+
+def arm_rgb_reg(
+    mesh_neutral_pose: jnp.ndarray,
+    upper_idx: jnp.ndarray,
+    lower_idx: jnp.ndarray,
+    rgb: jnp.ndarray,
+    dist_x_thr: float = 0.01,
+    top_k: int = 50,
+) -> jnp.ndarray:
+    """Tie lower-arm colors to nearby upper-arm colors (reference ArmRGBReg,
+    loss.py:176-199): for each lower-arm vertex take the 50 upper-arm
+    vertices closest in 3D among those within 1cm along x, average their
+    (detached) colors, L2 to the lower-arm color.
+
+    ``upper_idx``/``lower_idx`` are static index lists (padded upstream);
+    the (n_low, n_up) distance matrix is static-shape.
+    """
+    up = mesh_neutral_pose[upper_idx]  # (n_up, 3)
+    low = mesh_neutral_pose[lower_idx]  # (n_low, 3)
+    dist_x = jnp.abs(low[:, None, 0] - up[None, :, 0])
+    gate = dist_x < dist_x_thr
+    dist = jnp.sqrt(jnp.sum((low[:, None, :] - up[None, :, :]) ** 2, axis=2))
+    dist = jnp.where(gate, dist, 9999.0)
+    k = min(top_k, up.shape[0])
+    _, nn = jax.lax.top_k(-dist, k)  # (n_low, k) indices into upper_idx
+    up_rgb = jax.lax.stop_gradient(rgb[upper_idx])  # (n_up, 3)
+    target = jnp.mean(up_rgb[nn], axis=1)  # (n_low, 3)
+    return jnp.mean((rgb[lower_idx] - target) ** 2)

@@ -94,15 +94,18 @@ def init_from_point_cloud(
     f_rest = jnp.zeros((n, bands - 1, 3))
     op = jnp.full((n, 1), jnp.log(0.1 / 0.9))
 
-    def pad(x):
+    def pad(x, fill=0.0):
         return jnp.concatenate(
-            [x, jnp.zeros((C - n,) + x.shape[1:], x.dtype)], axis=0
+            [x, jnp.full((C - n,) + x.shape[1:], fill, x.dtype)], axis=0
         )
 
+    # dead rows hold identity 6D rotations: zero rows are a degenerate
+    # Gram-Schmidt input whose backward would emit NaNs
+    ident6 = jnp.tile(matrix_to_rotation_6d(jnp.eye(3, dtype=jnp.float32)), (C - n, 1))
     params = SceneParams(
         mean=pad(xyz.astype(jnp.float32)),
         scale=pad(scale),
-        rotation=pad(rot6d),
+        rotation=jnp.concatenate([rot6d, ident6], axis=0),
         feature_dc=pad(f_dc),
         feature_rest=pad(f_rest),
         opacity=pad(op),
@@ -156,10 +159,12 @@ def scene_assets(state: SceneState, cam_R: jnp.ndarray, cam_t: jnp.ndarray) -> G
     sh = jnp.concatenate([p.feature_dc, p.feature_rest], axis=1)  # (C, B, 3)
 
     cam_pos = -cam_R.T @ cam_t
-    view_dir = mean_3d - cam_pos[None, :]
-    view_dir = view_dir / jnp.maximum(
-        jnp.linalg.norm(view_dir, axis=1, keepdims=True), 1e-12
-    )
+    diff = mean_3d - cam_pos[None, :]
+    # double-where: a Gaussian exactly at the camera center (e.g. a dead
+    # zero row) must not poison the backward pass of the norm
+    degen = jnp.sum(diff * diff, axis=1, keepdims=True) < 1e-20
+    safe = jnp.where(degen, jnp.array([0.0, 0.0, 1.0]), diff)
+    view_dir = safe / jnp.linalg.norm(safe, axis=1, keepdims=True)
     rgb = eval_sh_dynamic(
         state.aux.active_sh_degree, sh.transpose(0, 2, 1), view_dir
     )

@@ -38,8 +38,11 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     normals = normals.at[faces[:, 0]].add(fn)
     normals = normals.at[faces[:, 1]].add(fn)
     normals = normals.at[faces[:, 2]].add(fn)
-    norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-    return normals / jnp.maximum(norm, 1e-12)
+    # double-where: cancelled/unreferenced vertices have zero accumulated
+    # normals; norm(0) would NaN the backward pass
+    degen = jnp.sum(normals * normals, axis=-1, keepdims=True) < 1e-24
+    safe = jnp.where(degen, jnp.array([0.0, 0.0, 1.0]), normals)
+    return jnp.where(degen, 0.0, safe / jnp.linalg.norm(safe, axis=-1, keepdims=True))
 
 
 def umeyama(

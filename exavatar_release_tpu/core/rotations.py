@@ -173,13 +173,30 @@ def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
-    """(..., 6) -> (..., 3, 3) via Gram-Schmidt (pytorch3d convention)."""
+    """(..., 6) -> (..., 3, 3) via Gram-Schmidt (pytorch3d convention).
+
+    Degenerate inputs (zero rows — e.g. dead rows of fixed-capacity Gaussian
+    buffers) are routed through the double-where pattern so the backward pass
+    stays NaN-free."""
     a1 = d6[..., 0:3]
     a2 = d6[..., 3:6]
-    b1 = a1 / jnp.clip(jnp.linalg.norm(a1, axis=-1, keepdims=True), _EPS)
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], d6.dtype), a1.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], d6.dtype), a2.shape)
+
+    deg1 = jnp.sum(a1 * a1, axis=-1, keepdims=True) < _EPS
+    a1s = jnp.where(deg1, ex, a1)
+    b1 = a1s / jnp.linalg.norm(a1s, axis=-1, keepdims=True)
+
     a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = a2 - a2_proj
-    b2 = b2 / jnp.clip(jnp.linalg.norm(b2, axis=-1, keepdims=True), _EPS)
+    b2r = a2 - a2_proj
+    deg2 = jnp.sum(b2r * b2r, axis=-1, keepdims=True) < _EPS
+    # fallback: any vector not collinear with b1
+    alt = ey - jnp.sum(b1 * ey, axis=-1, keepdims=True) * b1
+    alt = jnp.where(jnp.sum(alt * alt, axis=-1, keepdims=True) < _EPS,
+                    jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d6.dtype), a2.shape),
+                    alt)
+    b2s = jnp.where(deg2, alt, b2r)
+    b2 = b2s / jnp.linalg.norm(b2s, axis=-1, keepdims=True)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

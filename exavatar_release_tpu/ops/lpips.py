@@ -13,8 +13,9 @@ spatial mean, sum over taps.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,11 +29,12 @@ VGG16_PLAN: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256, 3), (512, 3)
 ALEX_PLAN = "alex"  # handled separately
 
 
-class LPIPSParams(NamedTuple):
+@flax.struct.dataclass
+class LPIPSParams:
     conv_weights: Tuple[jnp.ndarray, ...]  # each (O, I, kh, kw)
     conv_biases: Tuple[jnp.ndarray, ...]
     lin_weights: Tuple[jnp.ndarray, ...]  # 5 heads, each (C_tap,)
-    net: str  # 'vgg' | 'alex'
+    net: str = flax.struct.field(pytree_node=False)  # 'vgg' | 'alex'
 
 
 def _conv(x, w, b, stride=1, padding=1):

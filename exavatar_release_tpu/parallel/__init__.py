@@ -1,0 +1,23 @@
+"""Multi-chip parallelism: device meshes, tile-sharded rendering, DP training.
+
+The reference is strictly single-GPU (reference avatar/common/base.py:125:
+a degenerate single-process DataParallel with num_gpus=1). This package is
+new capability, designed for TPU slices per the project north star:
+
+* image tiles sharded across chips (the workload's sequence-parallel
+  analog) — Gaussians replicated, per-chip tile binning + compositing,
+  gradient psum over the replicated Gaussian parameters;
+* data parallelism over frames/subjects across hosts;
+* everything expressed with jax.sharding.Mesh + shard_map, so XLA inserts
+  the ICI/DCN collectives.
+"""
+from .mesh import make_mesh
+from .sharded_raster import rasterize_sharded
+from .dp_train import dp_train_step, replicate_to_mesh
+
+__all__ = [
+    "make_mesh",
+    "rasterize_sharded",
+    "dp_train_step",
+    "replicate_to_mesh",
+]

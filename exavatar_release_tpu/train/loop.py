@@ -1,0 +1,191 @@
+"""Jitted train step + host-side densification cadence.
+
+The reference iterates: forward -> backward -> adjust_gaussians (mutating
+the optimizer) -> step (reference avatar/main/train.py:28-74). Here the
+whole gradient step is ONE jitted pure function; the screen-space mean
+gradient that densification needs is obtained as d(loss)/d(mean2d_offset)
+of an explicit zero offset input (replacing the retained-grad leaf hack at
+module.py:626-629). Densify/prune runs as a separate jitted function on the
+reference cadence (every ``densify_interval`` itrs in
+[densify_start_itr, densify_end_itr), opacity reset every
+``opacity_reset_interval``) and zeroes the affected Adam moments.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..avatar import scene as sc
+from ..avatar.config import AvatarConfig
+from ..avatar.human import HumanBuffers
+from ..avatar.model import (
+    AvatarStatics,
+    AvatarTrainables,
+    ForwardOutputs,
+    FrameData,
+    forward_frame,
+    total_loss,
+)
+from ..models.smplx.prior import SMPLXIDInfo, SMPLXPrior
+from ..ops.lpips import LPIPSParams
+from ..ops.rasterizer.api import RasterizeSettings
+from .optim import make_optimizer, zero_opacity_moments, zero_scene_moments
+
+
+class TrainState(NamedTuple):
+    trainables: AvatarTrainables
+    opt_state: Any
+    scene_aux: sc.SceneAux
+    itr: jnp.ndarray  # () int32
+
+
+class ModelBundle(NamedTuple):
+    """Everything static-ish the step needs besides the train state."""
+
+    buffers: HumanBuffers
+    prior: SMPLXPrior
+    statics: AvatarStatics
+    id_info: SMPLXIDInfo
+    lpips: LPIPSParams
+    face_texture: jnp.ndarray
+    face_texture_mask: jnp.ndarray
+    init_joint_offset: jnp.ndarray
+
+
+def init_train_state(
+    trainables: AvatarTrainables,
+    scene_aux: sc.SceneAux,
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    return TrainState(
+        trainables=trainables,
+        opt_state=optimizer.init(trainables),
+        scene_aux=scene_aux,
+        itr=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("optimizer", "cfg", "is_warmup", "fit_pose_to_test", "settings"),
+)
+def train_step(
+    state: TrainState,
+    bundle: ModelBundle,
+    frame: FrameData,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    cfg: AvatarConfig,
+    is_warmup: bool,
+    fit_pose_to_test: bool = False,
+    settings: RasterizeSettings = RasterizeSettings(),
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step on one frame. Returns (state, loss dict)."""
+    C = state.trainables.scene.mean.shape[0]
+    bg = jax.random.uniform(key, (3,))
+    m2d_zero = jnp.zeros((C, 2))
+
+    def loss_fn(trainables, m2d_offset):
+        out = forward_frame(
+            trainables, state.scene_aux, bundle.buffers, bundle.prior,
+            bundle.statics, bundle.id_info, bundle.lpips, bundle.face_texture,
+            bundle.face_texture_mask, bundle.init_joint_offset, frame, bg,
+            cfg, is_warmup=is_warmup, mode="train",
+            fit_pose_to_test=fit_pose_to_test, settings=settings,
+            scene_mean2d_offset=m2d_offset,
+        )
+        return total_loss(out.losses), out
+
+    (tot, out), (g_tr, g_m2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.trainables, m2d_zero)
+
+    updates, opt_state = optimizer.update(g_tr, state.opt_state, state.trainables)
+    trainables = optax.apply_updates(state.trainables, updates)
+
+    # densification statistics from the scene render (reference
+    # train.py:49-54 + model.py:279-292)
+    scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
+    scene_state = sc.track_stats(scene_state, g_m2d, out.scene_is_vis, out.scene_radius)
+    aux = scene_state.aux.replace(
+        active_sh_degree=jnp.minimum(
+            state.itr // cfg.increase_sh_degree_interval, cfg.max_sh_degree
+        ).astype(jnp.float32)
+    )
+
+    losses = dict(out.losses)
+    losses["total"] = tot
+    return (
+        TrainState(
+            trainables=trainables,
+            opt_state=opt_state,
+            scene_aux=aux,
+            itr=state.itr + 1,
+        ),
+        losses,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_screen_size_prune"))
+def densify_step(
+    state: TrainState,
+    key: jax.Array,
+    cfg: AvatarConfig,
+    use_screen_size_prune: bool,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Densify/prune + Adam-moment surgery (reference adjust_gaussians,
+    model.py:279-292)."""
+    scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
+    res = sc.densify_and_prune(scene_state, key, cfg, use_screen_size_prune)
+    opt_state = zero_scene_moments(state.opt_state, res.reset_mask)
+    stats = {
+        "n_cloned": res.n_cloned,
+        "n_split": res.n_split,
+        "n_pruned": res.n_pruned,
+        "n_dropped": res.n_dropped,
+        "n_live": jnp.sum(res.state.aux.live.astype(jnp.int32)),
+    }
+    return (
+        state._replace(
+            trainables=state.trainables.replace(scene=res.state.params),
+            opt_state=opt_state,
+            scene_aux=res.state.aux,
+        ),
+        stats,
+    )
+
+
+@jax.jit
+def opacity_reset_step(state: TrainState) -> TrainState:
+    scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
+    new_scene, _ = sc.reset_opacity(scene_state)
+    return state._replace(
+        trainables=state.trainables.replace(scene=new_scene.params),
+        opt_state=zero_opacity_moments(state.opt_state),
+    )
+
+
+def maybe_adjust_gaussians(
+    state: TrainState,
+    key: jax.Array,
+    cur_itr: int,
+    cfg: AvatarConfig,
+    fit_pose_to_test: bool = False,
+) -> Tuple[TrainState, Optional[Dict[str, jnp.ndarray]]]:
+    """Host-side cadence control (reference train.py:49-54 +
+    model.py:287-292): densify every ``densify_interval`` in
+    (densify_start_itr, densify_end_itr); opacity reset every
+    ``opacity_reset_interval``."""
+    if fit_pose_to_test or cur_itr >= cfg.densify_end_itr:
+        return state, None
+    stats = None
+    if cur_itr > cfg.densify_start_itr and cur_itr % cfg.densify_interval == 0:
+        use_screen_prune = cur_itr > cfg.opacity_reset_interval
+        state, stats = densify_step(state, key, cfg, use_screen_prune)
+    if cur_itr > 0 and cur_itr % cfg.opacity_reset_interval == 0:
+        state = opacity_reset_step(state)
+    return state, stats

@@ -1,0 +1,66 @@
+"""End-to-end CLI smoke test: train -> checkpoint -> test render -> evaluate
+on a synthetic reference-layout subject directory. Exercises the real
+product surface (python -m ... subprocesses)."""
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from test_data import make_synthetic_subject
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PYTHONPATH=osp.dirname(osp.dirname(osp.abspath(__file__))),
+)
+SCALE_ARGS = [
+    "--scene_capacity", "128", "--triplane_ch", "8", "--triplane_res", "16",
+    "--raster_backend", "ref",
+]
+
+
+@pytest.fixture(scope="module")
+def subject_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("subject"))
+    make_synthetic_subject(root, n_frames=2, H=32, W=40)
+    return root
+
+
+@pytest.mark.slow
+def test_train_test_evaluate_cycle(subject_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+         "--subject_root", subject_dir, "--out_dir", out,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "2"] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpt = osp.join(out, "model_dump", "snapshot_0.npz")
+    assert osp.exists(ckpt)
+
+    result_dir = osp.join(out, "result")
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.test",
+         "--subject_root", subject_dir, "--ckpt", ckpt,
+         "--out_dir", result_dir] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pngs = [f for f in os.listdir(result_dir) if f.endswith(".png")]
+    assert len(pngs) == 2 * 9  # 2 frames x 9 composition outputs
+
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.evaluate",
+         "--subject_root", subject_dir, "--ckpt", ckpt] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(metrics) == {"psnr", "ssim", "lpips"}
+    assert np.isfinite(metrics["psnr"])

@@ -1,0 +1,132 @@
+"""Data layer: COLMAP text parsing + subject directory loading."""
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from exavatar_release_tpu.data import (
+    bbox_from_keypoints,
+    camera_distribution,
+    load_subject,
+    parse_cameras_txt,
+    parse_images_txt,
+    parse_points3d_txt,
+)
+from exavatar_release_tpu.data.subject import load_frame_arrays
+
+
+def make_synthetic_subject(root, n_frames=3, H=32, W=40, seed=0):
+    """Write a reference-layout subject directory with synthetic content."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(osp.join(root, "sparse"), exist_ok=True)
+    for d in ("images", "masks", "keypoints_whole_body",
+              "smplx_optimized/smplx_params"):
+        os.makedirs(osp.join(root, d), exist_ok=True)
+
+    with open(osp.join(root, "sparse", "cameras.txt"), "w") as f:
+        f.write("# cameras\n")
+        f.write(f"1 PINHOLE {W} {H} 60.0 61.0 {W/2} {H/2}\n")
+    with open(osp.join(root, "sparse", "images.txt"), "w") as f:
+        f.write("# images\n")
+        for i in range(n_frames):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3) * 0.1
+            f.write(
+                f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} 1 {i}.png\n"
+            )
+            f.write("0 0 -1\n")  # points2d line (ignored)
+    with open(osp.join(root, "sparse", "points3D.txt"), "w") as f:
+        f.write("# points\n")
+        for i in range(50):
+            x, y = rng.normal(size=2)
+            z = rng.uniform(2, 20)  # some far outliers to cut
+            r, g, b = rng.integers(0, 255, 3)
+            f.write(f"{i} {x} {y} {z} {r} {g} {b} 0.1\n")
+
+    for i in range(n_frames):
+        img = rng.integers(0, 255, (H, W, 3), np.uint8)
+        cv2.imwrite(osp.join(root, "images", f"{i}.png"), img)
+        mask = np.zeros((H, W, 3), np.uint8)
+        mask[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = 255
+        cv2.imwrite(osp.join(root, "masks", f"{i}.png"), mask)
+        kpt = np.concatenate(
+            [rng.uniform(5, 30, (135, 2)), rng.uniform(0.4, 1.0, (135, 1))], 1
+        )
+        with open(osp.join(root, "keypoints_whole_body", f"{i}.json"), "w") as f:
+            json.dump(kpt.tolist(), f)
+        params = {
+            "root_pose": rng.normal(0, 0.1, 3).tolist(),
+            "body_pose": rng.normal(0, 0.1, (21, 3)).tolist(),
+            "jaw_pose": rng.normal(0, 0.1, 3).tolist(),
+            "leye_pose": [0, 0, 0], "reye_pose": [0, 0, 0],
+            "lhand_pose": rng.normal(0, 0.1, (15, 3)).tolist(),
+            "rhand_pose": rng.normal(0, 0.1, (15, 3)).tolist(),
+            "expr": rng.normal(0, 0.3, 8).tolist(),  # matches default synthetic prior num_expr
+            "trans": [0.0, 0.1, 2.5],
+        }
+        with open(
+            osp.join(root, "smplx_optimized", "smplx_params", f"{i}.json"), "w"
+        ) as f:
+            json.dump(params, f)
+    with open(osp.join(root, "train_split.txt"), "w") as f:
+        f.write("".join(f"{i}.png\n" for i in range(n_frames)))
+    for name, shape in (
+        ("shape_param.json", (6,)), ("face_offset.json", (10, 3)),
+        ("joint_offset.json", (55, 3)), ("locator_offset.json", (55, 3)),
+    ):
+        with open(osp.join(root, "smplx_optimized", name), "w") as f:
+            json.dump(np.zeros(shape).tolist(), f)
+    return root
+
+
+class TestColmap:
+    def test_parse(self, tmp_path):
+        root = make_synthetic_subject(str(tmp_path))
+        focal, princpt = parse_cameras_txt(osp.join(root, "sparse", "cameras.txt"))
+        np.testing.assert_allclose(focal, [60.0, 61.0])
+        extr = parse_images_txt(osp.join(root, "sparse", "images.txt"))
+        assert len(extr) == 3
+        R = extr[0]["R"]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        pts = parse_points3d_txt(osp.join(root, "sparse", "points3D.txt"))
+        assert pts.shape[1] == 6
+        assert pts.shape[0] < 50  # z-quantile filtering removed outliers
+        assert pts[:, 3:].max() <= 1.0
+
+
+class TestSubject:
+    def test_load_subject_and_frames(self, tmp_path):
+        root = make_synthetic_subject(str(tmp_path))
+        subject = load_subject(root, split="train", repeat=2)
+        assert len(subject.frame_ids) == 6  # 3 frames x2
+        assert len(subject.smplx_params) == 3
+        assert subject.cam_dist_radius > 0
+        assert subject.shape_param is not None
+
+        arrs = load_frame_arrays(subject, 0)
+        assert arrs["img"].shape == (3, 32, 40)
+        assert arrs["mask"].shape == (1, 32, 40)
+        assert set(np.unique(arrs["mask"])) <= {0.0, 1.0}
+        assert arrs["bbox"].shape == (4,)
+
+    def test_bbox_from_keypoints(self):
+        kpt = np.asarray([[10.0, 20.0], [30.0, 40.0]])
+        valid = np.asarray([1.0, 1.0])
+        bbox = bbox_from_keypoints(kpt, valid)
+        # extended by 1.2 around center (20, 30)
+        np.testing.assert_allclose(bbox, [8.0, 18.0, 24.0, 24.0])
+
+    def test_camera_distribution(self):
+        cams = {
+            0: {"R": np.eye(3, dtype=np.float32), "t": np.zeros(3, np.float32)},
+            1: {"R": np.eye(3, dtype=np.float32),
+                "t": np.asarray([2.0, 0, 0], np.float32)},
+        }
+        trans, radius = camera_distribution(cams)
+        np.testing.assert_allclose(trans, [1.0, 0, 0], atol=1e-6)
+        assert radius == pytest.approx(1.1, rel=1e-5)

@@ -1,0 +1,338 @@
+"""Fitting half: losses, model forward, staged optimization, smoothing,
+texture unwrap."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exavatar_release_tpu.fitting import (
+    FittingConfig,
+    FittingParams,
+    SMPLX_KPT_IDX,
+)
+from exavatar_release_tpu.fitting.fit import (
+    fit_step,
+    init_fit_state,
+    make_fit_optimizer,
+    stage_flags,
+)
+from exavatar_release_tpu.fitting.keypoints import full_keypoints, extra_joint_ids_for
+from exavatar_release_tpu.fitting.losses import (
+    coord_loss,
+    edge_length_loss,
+    face_offset_symmetric_reg,
+    hand_occlusion_weight,
+    pose_loss,
+    synthetic_flip_correspondence,
+)
+from exavatar_release_tpu.fitting.model import (
+    FitFrameData,
+    build_fit_statics,
+    fitting_forward,
+)
+from exavatar_release_tpu.fitting.params import (
+    init_fitting_params,
+    weight_joint_offset,
+    weight_locator_offset,
+)
+from exavatar_release_tpu.fitting.smooth import fix_quaternions, smooth_sequence
+from exavatar_release_tpu.fitting.unwrap import build_uv_maps, unwrap_sequence
+from exavatar_release_tpu.models.smplx import (
+    SMPLXParams,
+    smplx_forward,
+    synthetic_flame_assets,
+    synthetic_smplx_assets,
+)
+
+NUM_KPT = 135
+
+
+@pytest.fixture(scope="module")
+def statics():
+    smplx_assets = synthetic_smplx_assets(
+        rings=8, segs=12, num_shape=6, num_expr=4, num_contour_lmk=17
+    )
+    flame_assets, flame_prior = synthetic_flame_assets(
+        rings=8, segs=10, num_shape=6, num_expr=4, num_contour_lmk=17
+    )
+    # synthetic SMPLX<->FLAME correspondence: pick |V_flame| face-region verts
+    from exavatar_release_tpu.models.smplx import build_prior
+
+    prior = build_prior(smplx_assets)
+    fv = np.asarray(prior.face_vertex_idx)
+    Vf = flame_assets.num_vertices
+    if fv.size < Vf:
+        fv = np.concatenate([fv, np.tile(fv[-1:], Vf - fv.size)])
+    fv = fv[:Vf]
+    return build_fit_statics(smplx_assets, flame_assets, fv), flame_prior
+
+
+def _frames(statics, n=2, seed=0):
+    st, _ = statics
+    rng = np.random.default_rng(seed)
+    E = st.flame_assets.num_expr
+    Sf = st.flame_assets.num_shape
+    frames = []
+    for _ in range(n):
+        frames.append(
+            FitFrameData(
+                kpt_img=jnp.asarray(rng.uniform(0, 8, (NUM_KPT, 2)).astype(np.float32)),
+                kpt_valid=jnp.asarray((rng.uniform(size=(NUM_KPT, 1)) > 0.2).astype(np.float32)),
+                focal_proj=jnp.asarray([4.0, 4.0]),
+                princpt_proj=jnp.asarray([4.0, 4.0]),
+                flame_valid=jnp.asarray(True),
+                init_smplx_pose=jnp.asarray(rng.normal(0, 0.1, (55, 3)).astype(np.float32)),
+                init_flame_pose=jnp.asarray(rng.normal(0, 0.1, (4, 3)).astype(np.float32)),
+                init_flame_shape=jnp.asarray(rng.normal(0, 0.5, Sf).astype(np.float32)),
+                init_flame_expr=jnp.asarray(rng.normal(0, 0.5, E).astype(np.float32)),
+            )
+        )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+
+def _params(statics, n=2, seed=1):
+    st, _ = statics
+    rng = np.random.default_rng(seed)
+    E = st.flame_assets.num_expr
+    smplx_init = [
+        {
+            "root_pose": rng.normal(0, 0.1, 3), "body_pose": rng.normal(0, 0.1, (21, 3)),
+            "lhand_pose": rng.normal(0, 0.1, (15, 3)),
+            "rhand_pose": rng.normal(0, 0.1, (15, 3)),
+            "trans": np.asarray([0.0, 0.0, 3.0]),
+        }
+        for _ in range(n)
+    ]
+    flame_init = [
+        {
+            "root_pose": rng.normal(0, 0.1, 3), "neck_pose": rng.normal(0, 0.1, 3),
+            "jaw_pose": rng.normal(0, 0.1, 3), "leye_pose": np.zeros(3),
+            "reye_pose": np.zeros(3), "expr": rng.normal(0, 0.3, E),
+            "trans": np.asarray([0.0, 0.0, 3.0]),
+        }
+        for _ in range(n)
+    ]
+    return init_fitting_params(
+        smplx_init, flame_init, np.zeros(st.flame_assets.num_shape),
+        st.smplx_assets.num_shape, st.flame_assets.num_vertices,
+        st.smplx_assets.num_joints,
+    )
+
+
+class TestKeypoints:
+    def test_full_keypoints_shape(self, statics):
+        st, _ = statics
+        a = st.smplx_assets
+        out = smplx_forward(a, SMPLXParams.zeros(a.num_shape, a.num_expr))
+        kpt = full_keypoints(out, a)
+        assert kpt.shape == (135, 3)
+        assert len(SMPLX_KPT_IDX) == 135
+        assert np.isfinite(np.asarray(kpt)).all()
+
+
+class TestLosses:
+    def test_hand_occlusion_weight(self, rng):
+        kpt = jnp.asarray(rng.uniform(0, 8, (135, 2)).astype(np.float32))
+        valid = jnp.ones((135, 1))
+        # same projected hands, right hand farther -> right dropped
+        kpt = kpt.at[jnp.asarray(range(45, 65))].set(kpt[jnp.asarray(range(25, 45))])
+        cam = jnp.ones((135, 3))
+        cam = cam.at[jnp.asarray(range(45, 65)), 2].set(5.0)
+        w = hand_occlusion_weight(kpt, valid, cam)
+        assert float(w[50, 0]) == 0.0  # right hand zeroed
+        assert float(w[30, 0]) == 1.0  # left hand kept
+
+    def test_pose_loss_zero_at_equal(self, rng):
+        p = jnp.asarray(rng.normal(0, 0.5, (10, 3)).astype(np.float32))
+        assert float(pose_loss(p, p).sum()) == 0.0
+        assert float(pose_loss(p, p + 0.1).sum()) > 0.0
+
+    def test_face_offset_sym_reg_zero_for_symmetric(self, statics):
+        st, _ = statics
+        V = st.smplx_assets.num_vertices
+        # symmetric field: x-antisymmetric x-offset = c * x-position
+        off = np.zeros((st.face_vertex_idx.shape[0], 3), np.float32)
+        loss0 = face_offset_symmetric_reg(
+            jnp.asarray(off), st.face_vertex_idx, V,
+            st.flip_closest_faces, st.flip_bc,
+        )
+        assert float(loss0.sum()) == 0.0
+
+    def test_offset_weighting(self, statics, rng):
+        st, _ = statics
+        J = st.smplx_assets.num_joints
+        jo = jnp.asarray(rng.normal(0, 1, (J, 3)).astype(np.float32))
+        w = weight_joint_offset(jo)
+        assert np.allclose(np.asarray(w[0]), 0)  # root
+        assert np.allclose(np.asarray(w[1]), 0)  # L_Hip
+        assert np.allclose(np.asarray(w[2]), 0)  # R_Hip
+        lo = weight_locator_offset(jo)
+        nz = np.nonzero(np.abs(np.asarray(lo)).sum(1))[0]
+        assert set(nz.tolist()) <= {1, 2}
+
+
+class TestFittingForward:
+    def test_warmup_and_main_losses(self, statics):
+        params = _params(statics)
+        frames = _frames(statics)
+        st, _ = statics
+        rows = jnp.asarray([0, 1])
+        lw = fitting_forward(params, st, frames, rows, jnp.asarray(True), jnp.asarray(False))
+        lm = fitting_forward(params, st, frames, rows, jnp.asarray(False), jnp.asarray(True))
+        for k, v in lw.items():
+            assert np.isfinite(float(v)), k
+        # warmup: coupling v2v active, priors off
+        assert float(lw["flame_to_smplx_v2v"]) > 0
+        assert float(lw["smplx_shape_reg"]) == 0.0
+        # main: priors active, warmup-coupling off
+        assert float(lm["flame_to_smplx_v2v"]) == 0.0
+        assert float(lm["smplx_pose"]) > 0
+
+    def test_fit_step_descends(self, statics):
+        cfg = FittingConfig()
+        params = _params(statics)
+        frames = _frames(statics)
+        st, _ = statics
+        rows = jnp.asarray([0, 1])
+        opt = make_fit_optimizer()
+        state = init_fit_state(params, opt)
+        first = last = None
+        for itr in range(6):
+            lr, root_only, allow_shared, warmup, hjo = stage_flags(cfg, 0, itr)
+            state, losses = fit_step(
+                state, st, frames, rows, opt,
+                jnp.asarray(lr * 0.1), jnp.asarray(root_only),
+                jnp.asarray(allow_shared), jnp.asarray(warmup), jnp.asarray(hjo),
+            )
+            tot = float(losses["total"])
+            assert np.isfinite(tot)
+            first = tot if first is None else first
+            last = tot
+        assert last < first
+
+    def test_stage_masks_freeze(self, statics):
+        """root_only stage must not move body pose or shared shape."""
+        params = _params(statics)
+        frames = _frames(statics)
+        st, _ = statics
+        rows = jnp.asarray([0, 1])
+        opt = make_fit_optimizer()
+        state = init_fit_state(params, opt)
+        state1, _ = fit_step(
+            state, st, frames, rows, opt, jnp.asarray(0.01),
+            jnp.asarray(True), jnp.asarray(True), jnp.asarray(True), jnp.asarray(False),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state1.params.smplx_body_pose),
+            np.asarray(params.smplx_body_pose),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state1.params.smplx_shape), np.asarray(params.smplx_shape)
+        )
+        assert not np.allclose(
+            np.asarray(state1.params.smplx_root_pose),
+            np.asarray(params.smplx_root_pose),
+        )
+
+
+class TestSmooth:
+    def test_fix_quaternions(self):
+        q = np.tile(np.asarray([1.0, 0, 0, 0]), (5, 2, 1))
+        q[2] *= -1
+        fixed = fix_quaternions(q)
+        assert (np.sum(fixed[1:] * fixed[:-1], axis=2) >= 0).all()
+
+    def test_smooth_sequence_reduces_jitter(self, rng):
+        F = 21
+        base = np.linspace(0, 1, F)[:, None] * np.asarray([[0.5, 0.2, 0.1]])
+        noisy = base + rng.normal(0, 0.05, (F, 3))
+        seq = [{"root_pose": noisy[i], "trans": noisy[i] * 2} for i in range(F)]
+        out = smooth_sequence(seq, window_length=9)
+        sm = np.stack([o["root_pose"] for o in out])
+        jitter = lambda x: np.abs(np.diff(x, 2, axis=0)).mean()
+        assert jitter(sm) < jitter(noisy)
+
+    def test_short_sequence_passthrough(self):
+        seq = [{"trans": np.zeros(3)}] * 2
+        out = smooth_sequence(seq)
+        assert len(out) == 2
+
+
+class TestUnwrap:
+    def test_unwrap_roundtrip(self, statics, rng):
+        """Unwrapping frames of a known-color mesh paints the atlas."""
+        st, flame_prior = statics
+        a = st.flame_assets
+        uv_maps = build_uv_maps(flame_prior.vertex_uv, flame_prior.face_uv, (32, 32))
+        assert float((uv_maps.face_idx >= 0).mean()) > 0.2
+
+        # mesh in front of the camera; constant red image
+        verts = a.v_template + jnp.asarray([0.0, 0.0, 0.5])
+        img = jnp.ones((3, 64, 64)) * jnp.asarray([1.0, 0.0, 0.0])[:, None, None]
+        tex, mask = unwrap_sequence(
+            uv_maps,
+            verts[None],
+            a.faces,
+            img[None],
+            jnp.asarray([[100.0, 100.0]]),
+            jnp.asarray([[32.0, 32.0]]),
+        )
+        assert tex.shape == (3, 32, 32)
+        painted = np.asarray(mask[0]) > 0
+        assert painted.mean() > 0.05
+        np.testing.assert_allclose(np.asarray(tex[0])[painted], 1.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tex[1])[painted], 0.0, atol=1e-4)
+
+
+class TestKptConvert:
+    def test_coco133_mapping(self, rng):
+        from exavatar_release_tpu.fitting.kpt_convert import (
+            COCO_WHOLEBODY_133_NAMES,
+            coco133_to_smplx135,
+        )
+        from exavatar_release_tpu.fitting.keypoints import SMPLX_KPT_NAMES
+
+        assert len(COCO_WHOLEBODY_133_NAMES) == 133
+        k = rng.normal(size=(133, 3)).astype(np.float32)
+        out = coco133_to_smplx135(k)
+        assert out.shape == (135, 3)
+        # named correspondences land in the right rows
+        np.testing.assert_array_equal(
+            out[SMPLX_KPT_NAMES.index("Nose")],
+            k[COCO_WHOLEBODY_133_NAMES.index("Nose")],
+        )
+        np.testing.assert_array_equal(
+            out[SMPLX_KPT_NAMES.index("R_Pinky_4")],
+            k[COCO_WHOLEBODY_133_NAMES.index("R_Pinky_4")],
+        )
+        # targets absent from coco (Pelvis, Neck, Head, Jaw) stay zero
+        for n in ("Pelvis", "Neck", "Head", "Jaw"):
+            np.testing.assert_array_equal(out[SMPLX_KPT_NAMES.index(n)], 0)
+
+
+class TestMeshIO:
+    def test_ply_roundtrip(self, tmp_path, rng):
+        from exavatar_release_tpu.utils.mesh_io import load_ply, save_ply
+
+        v = rng.normal(size=(10, 3)).astype(np.float32)
+        f = rng.integers(0, 10, (6, 3)).astype(np.int32)
+        c = rng.uniform(0, 1, (10, 3)).astype(np.float32)
+        p = str(tmp_path / "m.ply")
+        save_ply(p, v, f, c)
+        v2, f2 = load_ply(p)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+
+    def test_obj_roundtrip(self, tmp_path, rng):
+        from exavatar_release_tpu.utils.mesh_io import load_obj, save_obj
+
+        v = rng.normal(size=(8, 3)).astype(np.float32)
+        f = rng.integers(0, 8, (4, 3)).astype(np.int32)
+        uv = rng.uniform(0, 1, (8, 2)).astype(np.float32)
+        p = str(tmp_path / "m.obj")
+        save_obj(p, v, f, uv, f)
+        mesh = load_obj(p)
+        np.testing.assert_allclose(mesh.verts, v, atol=1e-5)
+        np.testing.assert_array_equal(mesh.faces, f)
+        np.testing.assert_allclose(mesh.vertex_uv, uv, atol=1e-5)
+        np.testing.assert_array_equal(mesh.face_uv, f)

@@ -1,0 +1,126 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded rasterizer
+parity vs single-device, gradient psum correctness, DP train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exavatar_release_tpu.ops.rasterizer.api import RasterizeSettings, rasterize
+from exavatar_release_tpu.parallel import make_mesh, rasterize_sharded
+from exavatar_release_tpu.parallel.dp_train import dp_train_step, shard_batch_to_mesh
+from exavatar_release_tpu.train.loop import ModelBundle, init_train_state
+from exavatar_release_tpu.train.optim import make_optimizer
+from gs_scene import make_scene
+from avatar_fixture import AvatarSetup
+
+SETTINGS = RasterizeSettings(backend="ref", max_per_tile=256)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh((4,), ("tile",))
+
+
+@pytest.fixture(scope="module")
+def data_mesh():
+    return make_mesh((2,), ("data",))
+
+
+class TestShardedRaster:
+    def test_matches_single_device(self, mesh, rng):
+        sc = make_scene(rng, n=96, img=(64, 256))
+        single = rasterize(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            SETTINGS,
+        )
+        sharded = rasterize_sharded(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            mesh, "tile", SETTINGS,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded["img"]), np.asarray(single["img"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded["depth"]), np.asarray(single["depth"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded["mask"]), np.asarray(single["mask"]), atol=1e-5
+        )
+
+    def test_gradients_match_single_device(self, mesh, rng):
+        sc = make_scene(rng, n=64, img=(64, 256))
+
+        def loss_single(means, scales, opac):
+            r = rasterize(
+                means, scales, sc["quats"], opac, sc["rgbs"], sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], SETTINGS,
+            )
+            return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+
+        def loss_sharded(means, scales, opac):
+            r = rasterize_sharded(
+                means, scales, sc["quats"], opac, sc["rgbs"], sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], mesh, "tile", SETTINGS,
+            )
+            return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+
+        args = (sc["means3d"], sc["scales"], sc["opacities"])
+        g1 = jax.grad(loss_single, argnums=(0, 1, 2))(*args)
+        g2 = jax.grad(loss_sharded, argnums=(0, 1, 2))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4)
+
+    def test_nondivisible_height(self, mesh, rng):
+        # H=50 not divisible by 4 devices * 8 tile rows -> padded internally
+        sc = make_scene(rng, n=48, img=(50, 256))
+        single = rasterize(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            SETTINGS,
+        )
+        sharded = rasterize_sharded(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            mesh, "tile", SETTINGS,
+        )
+        assert sharded["img"].shape == (50, 256, 3)
+        np.testing.assert_allclose(
+            np.asarray(sharded["img"]), np.asarray(single["img"]), atol=1e-5
+        )
+
+
+class TestDPTrain:
+    def test_dp_step_runs_and_matches_loss_scale(self, data_mesh):
+        s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
+        bundle = ModelBundle(
+            buffers=s.buffers, prior=s.prior, statics=s.statics,
+            id_info=s.id_info, lpips=s.lpips, face_texture=s.face_texture,
+            face_texture_mask=s.face_texture_mask,
+            init_joint_offset=s.init_joint_offset,
+        )
+        opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=100)
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *s.frame_data)
+        batch = shard_batch_to_mesh(batch, data_mesh, "data")
+        keys = jax.random.key_data(
+            jax.random.split(jax.random.PRNGKey(0), 2)
+        )
+        state1, losses = dp_train_step(
+            state, bundle, batch, keys, opt, s.cfg, data_mesh, "data",
+            is_warmup=True, settings=s.settings,
+        )
+        assert np.isfinite(float(losses["total"]))
+        assert int(state1.itr) == 1
+        # params moved and stayed replicated/finite
+        assert not np.allclose(
+            np.asarray(state1.trainables.human.triplane),
+            np.asarray(state.trainables.human.triplane),
+        )
+        for leaf in jax.tree.leaves(state1.trainables):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # densify stats tracked
+        assert float(state1.scene_aux.track_cnt.sum()) > 0
