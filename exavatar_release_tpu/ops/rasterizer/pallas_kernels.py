@@ -78,7 +78,7 @@ def _chunk_alphas(basis, quad, color=None):
 
 
 def _forward_kernel(
-    count_ref,  # SMEM (1, 1) int32
+    count_ref,  # SMEM (1, 1, 1) int32
     quad_ref,  # VMEM (1, K, 8)
     color_ref,  # VMEM (1, K, 4)
     accum_ref,  # out VMEM (1, P, 4)
@@ -100,7 +100,7 @@ def _forward_kernel(
     tcarry[:] = jnp.ones((P, 1), F32)
     done[:] = jnp.zeros((P, 1), F32)
 
-    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0], K), chunk)
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
     def body(ci, _):
         sl = pl.ds(ci * chunk, chunk)
@@ -134,7 +134,7 @@ def _forward_kernel(
 
 
 def _backward_kernel(
-    count_ref,  # SMEM (1, 1) int32
+    count_ref,  # SMEM (1, 1, 1) int32
     quad_ref,  # VMEM (1, K, 8)
     color_ref,  # VMEM (1, K, 4)
     gacc_ref,  # VMEM (1, P, 4) cotangent of accum
@@ -164,7 +164,7 @@ def _backward_kernel(
     g_acc = gacc_ref[0]  # (P, 4)
     A_p = atot_ref[0]  # (P, 1)
 
-    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0], K), chunk)
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
     def body(ci, _):
         sl = pl.ds(ci * chunk, chunk)
@@ -242,7 +242,7 @@ def composite_tiles_fwd(
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
         ],
@@ -260,7 +260,7 @@ def composite_tiles_fwd(
             pltpu.VMEM((P, 1), F32),
         ],
         interpret=interpret,
-    )(tile_counts.reshape(T, 1).astype(jnp.int32), tile_quad, tile_color)
+    )(tile_counts.reshape(T, 1, 1).astype(jnp.int32), tile_quad, tile_color)
 
 
 @functools.partial(
@@ -288,7 +288,7 @@ def composite_tiles_bwd(
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
@@ -310,7 +310,7 @@ def composite_tiles_bwd(
         ],
         interpret=interpret,
     )(
-        tile_counts.reshape(T, 1).astype(jnp.int32),
+        tile_counts.reshape(T, 1, 1).astype(jnp.int32),
         tile_quad,
         tile_color,
         g_accum,
