@@ -189,3 +189,64 @@ def maybe_adjust_gaussians(
     if cur_itr > 0 and cur_itr % cfg.opacity_reset_interval == 0:
         state = opacity_reset_step(state)
     return state, stats
+
+
+def grow_scene_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Host-side capacity reallocation when densification keeps dropping
+    requests (n_dropped > 0): pad the scene parameter rows, aux buffers, and
+    Adam moments to ``new_capacity``. Recompiles downstream jits once per
+    growth (growth is O(log) events over training). The reference instead
+    reallocates tensors every densify step (module.py:17-72)."""
+    import numpy as _np
+
+    from ..core.rotations import matrix_to_rotation_6d
+
+    C_old = state.trainables.scene.mean.shape[0]
+    assert new_capacity >= C_old
+    pad_n = new_capacity - C_old
+    if pad_n == 0:
+        return state
+
+    ident6 = jnp.tile(
+        matrix_to_rotation_6d(jnp.eye(3, dtype=jnp.float32)), (pad_n, 1)
+    )
+
+    def pad_params(p: sc.SceneParams) -> sc.SceneParams:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0
+        )
+        return sc.SceneParams(
+            mean=z(p.mean), scale=z(p.scale),
+            rotation=jnp.concatenate([p.rotation, ident6], axis=0),
+            feature_dc=z(p.feature_dc), feature_rest=z(p.feature_rest),
+            opacity=z(p.opacity),
+        )
+
+    def pad_rows(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    aux = state.scene_aux
+    new_aux = aux.replace(
+        live=jnp.concatenate([aux.live, jnp.zeros((pad_n,), bool)]),
+        radius_max=pad_rows(aux.radius_max),
+        xyz_grad_accum=pad_rows(aux.xyz_grad_accum),
+        track_cnt=pad_rows(aux.track_cnt),
+    )
+
+    adam_state, lr_state = state.opt_state
+
+    def pad_moments(tree):
+        return tree.replace(scene=jax.tree.map(pad_rows, tree.scene))
+
+    new_adam = adam_state._replace(
+        mu=pad_moments(adam_state.mu), nu=pad_moments(adam_state.nu)
+    )
+    return state._replace(
+        trainables=state.trainables.replace(
+            scene=pad_params(state.trainables.scene)
+        ),
+        opt_state=(new_adam, lr_state),
+        scene_aux=new_aux,
+    )

@@ -171,3 +171,32 @@ class TestCheckpoint:
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestCapacityGrowth:
+    def test_grow_scene_capacity(self, setup, bundle):
+        from exavatar_release_tpu.train.loop import grow_scene_capacity
+
+        s = setup
+        opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=1000)
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+        state2 = grow_scene_capacity(state, 512)
+        assert state2.trainables.scene.mean.shape == (512, 3)
+        assert state2.scene_aux.live.shape == (512,)
+        # old rows preserved, new rows dead with identity rotations
+        np.testing.assert_array_equal(
+            np.asarray(state2.trainables.scene.mean[:256]),
+            np.asarray(state.trainables.scene.mean),
+        )
+        assert not bool(state2.scene_aux.live[256:].any())
+        np.testing.assert_allclose(
+            np.asarray(state2.trainables.scene.rotation[256:, 0]), 1.0
+        )
+        # Adam moments padded
+        assert state2.opt_state[0].mu.scene.mean.shape == (512, 3)
+        # train step still runs at the new capacity
+        state3, losses = train_step(
+            state2, bundle, s.frame_data[0], jax.random.PRNGKey(0), opt,
+            s.cfg, is_warmup=True, settings=s.settings,
+        )
+        assert np.isfinite(float(losses["total"]))
