@@ -40,6 +40,11 @@ class RasterizeSettings:
     chunk: int = 256
     backend: str = "pallas"  # "pallas" | "ref"
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+    # tile-sharding over a device mesh: when set, rasterize() shards the
+    # image-row axis over mesh[shard_axis] (Gaussians replicated, gradient
+    # psum over ICI — the north-star sequence-parallel analog)
+    mesh: Optional[object] = None  # jax.sharding.Mesh (hashable, jit-static)
+    shard_axis: str = "tile"
 
     def resolve_interpret(self) -> bool:
         if self.interpret is not None:
@@ -113,6 +118,16 @@ def rasterize(
       mask  (H, W)     accumulated alpha (1 - final transmittance)
       mean2d (N, 2), radius (N,), is_vis (N,)  — densification stats
     """
+    if settings.mesh is not None:
+        from ...parallel.sharded_raster import rasterize_sharded
+
+        return rasterize_sharded(
+            means3d, scales, quats, opacities, rgbs, live, cam, img_shape, bg,
+            settings.mesh, settings.shard_axis,
+            dataclasses.replace(settings, mesh=None),
+            mean2d_offset=mean2d_offset,
+        )
+
     H, W = int(img_shape[0]), int(img_shape[1])
     th, tw = settings.tile_h, settings.tile_w
     ny, nx = tile_grid((H, W), th, tw)

@@ -124,3 +124,34 @@ class TestDPTrain:
             assert np.isfinite(np.asarray(leaf)).all()
         # densify stats tracked
         assert float(state1.scene_aux.track_cnt.sum()) > 0
+
+
+class TestMeshSettingsIntegration:
+    def test_forward_frame_tile_sharded_matches(self, mesh):
+        """forward_frame with RasterizeSettings.mesh set must reproduce the
+        unsharded losses (full train path through the sharded renderer)."""
+        import dataclasses
+
+        from exavatar_release_tpu.avatar.model import forward_frame, total_loss
+
+        s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=1)
+        base = s.settings
+        sharded = dataclasses.replace(base, mesh=mesh, shard_axis="tile")
+
+        def run(settings):
+            out = forward_frame(
+                s.trainables, s.scene_state.aux, s.buffers, s.prior,
+                s.statics, s.id_info, s.lpips, s.face_texture,
+                s.face_texture_mask, s.init_joint_offset, s.frame_data[0],
+                jnp.asarray([0.2, 0.4, 0.6]), s.cfg, is_warmup=True,
+                mode="train", settings=settings,
+            )
+            return out.losses
+
+    # losses computed through the sharded renderer match the unsharded ones
+        l0 = run(base)
+        l1 = run(sharded)
+        for k in l0:
+            np.testing.assert_allclose(
+                float(l1[k]), float(l0[k]), rtol=2e-4, atol=1e-5,
+            )
