@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--triplane_res", type=int, default=128)
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
     ap.add_argument("--max_itrs", type=int, default=None, help="debug cap")
+    ap.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of itrs 20-40")
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
@@ -41,6 +43,7 @@ def main():
     from ..train.loop import init_train_state, maybe_adjust_gaussians, train_step
     from ..train.optim import make_optimizer
     from ..utils import Timer, make_logger
+    from ..utils.profiling import trace as profiler_trace
     from .common import build_prior_for, frame_to_device, subject_bundle
 
     import dataclasses as _dc
@@ -116,6 +119,11 @@ def main():
             read_timer.toc()
 
             gpu_timer.tic()
+            if args.profile_dir is not None and cur_itr == 20:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir is not None and cur_itr == 40:
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {args.profile_dir}")
             key, sub = jax.random.split(key)
             state, losses = train_step(
                 state, bundle, frame, sub, opt, cfg,

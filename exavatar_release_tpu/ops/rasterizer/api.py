@@ -37,7 +37,9 @@ class RasterizeSettings:
     tile_h: int = 8
     tile_w: int = 128
     max_per_tile: int = 1024
-    chunk: int = 256
+    # v5e scoped VMEM is 16 MiB; chunk=128 keeps the backward kernel's
+    # (P x chunk) temporaries within it (256 OOMs at ~18.4 MiB)
+    chunk: int = 128
     backend: str = "pallas"  # "pallas" | "ref"
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
     # tile-sharding over a device mesh: when set, rasterize() shards the

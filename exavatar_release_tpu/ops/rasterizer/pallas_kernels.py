@@ -231,7 +231,7 @@ def composite_tiles_fwd(
     tile_color: jnp.ndarray,
     tile_counts: jnp.ndarray,
     tile_shape: Tuple[int, int],
-    chunk: int = 256,
+    chunk: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     T, K, _ = tile_quad.shape
@@ -275,7 +275,7 @@ def composite_tiles_bwd(
     accum: jnp.ndarray,
     tfinal: jnp.ndarray,
     tile_shape: Tuple[int, int],
-    chunk: int = 256,
+    chunk: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     T, K, _ = tile_quad.shape
