@@ -130,3 +130,52 @@ class TestSubject:
         trans, radius = camera_distribution(cams)
         np.testing.assert_allclose(trans, [1.0, 0, 0], atol=1e-6)
         assert radius == pytest.approx(1.1, rel=1e-5)
+
+
+class TestFittingInit:
+    def test_trans_init_scale_relation(self):
+        from exavatar_release_tpu.data.fitting_init import smplx_trans_init
+
+        # a body of size 2m filling a 200px box at f=400 sits at z=4
+        kpt = np.asarray([[300.0, 300.0, 1.0], [500.0, 500.0, 1.0]])
+        t = smplx_trans_init(kpt, np.asarray([400.0, 400.0]),
+                             np.asarray([400.0, 400.0]), body_3d_size=2.0)
+        # bbox extends 200*1.2 = 240 -> t_z = sqrt(400*400*4/240^2) = 3.33
+        assert t[2] == pytest.approx(400 * 2 / 240, rel=1e-4)
+        assert abs(t[0]) < 0.2 and abs(t[1]) < 0.2  # centered bbox
+
+    def test_flame_root_init_recovers_rotation(self, rng):
+        from exavatar_release_tpu.data.fitting_init import flame_root_init
+        from exavatar_release_tpu.core.rotations import axis_angle_to_matrix
+        import jax.numpy as jnp
+
+        flame_v = rng.normal(0, 0.1, (40, 3)).astype(np.float32)
+        # smplx face region IS the flame template rotated by a known R
+        aa = np.asarray([0.3, -0.2, 0.5], np.float32)
+        R = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+        smplx_v = rng.normal(0, 0.5, (100, 3)).astype(np.float32)
+        fv_idx = np.arange(40)
+        # construct smplx template so that root-posed face region equals
+        # R' @ flame (R' = total rotation after root pose)
+        root = np.zeros(3, np.float32)
+        smplx_v[:40] = flame_v @ R.T
+        trans = np.asarray([0.1, 0.2, 3.0], np.float32)
+        rp, tr = flame_root_init(root, trans, smplx_v, fv_idx, flame_v)
+        R_est = np.asarray(axis_angle_to_matrix(jnp.asarray(rp)))
+        np.testing.assert_allclose(R_est, R, atol=1e-3)
+
+    def test_world_to_cam_root_pose(self, rng):
+        from exavatar_release_tpu.data.fitting_init import world_to_cam_root_pose
+        from exavatar_release_tpu.core.rotations import axis_angle_to_matrix
+        import jax.numpy as jnp
+
+        aa = rng.normal(0, 0.5, 3).astype(np.float32)
+        camR = np.asarray(
+            np.linalg.qr(rng.normal(size=(3, 3)))[0], np.float32
+        )
+        if np.linalg.det(camR) < 0:
+            camR[:, 0] *= -1
+        out = world_to_cam_root_pose(aa, camR)
+        R_out = np.asarray(axis_angle_to_matrix(jnp.asarray(out)))
+        R_in = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+        np.testing.assert_allclose(R_out, camR @ R_in, atol=1e-5)
