@@ -179,3 +179,42 @@ class TestFittingInit:
         R_out = np.asarray(axis_angle_to_matrix(jnp.asarray(out)))
         R_in = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
         np.testing.assert_allclose(R_out, camR @ R_in, atol=1e-5)
+
+
+class TestDepthCloud:
+    def test_align_and_backproject(self, rng):
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.data.depth_cloud import (
+            BkgCloudAccumulator,
+            align_depth_to_smplx,
+            render_smplx_depth,
+        )
+
+        H, W = 32, 40
+        # mesh depth render: a triangle at z=2
+        verts = np.asarray([[-0.3, -0.3, 2.0], [0.3, -0.3, 2.0], [0.0, 0.4, 2.0]],
+                           np.float32)
+        faces = np.asarray([[0, 1, 2]], np.int32)
+        sd = render_smplx_depth(verts, faces, [50.0, 50.0], [W / 2, H / 2], (H, W))
+        assert (sd > 0).sum() > 20
+        np.testing.assert_allclose(sd[sd > 0], 2.0, atol=1e-3)
+
+        # relative depth = affine transform of a known metric field
+        true_depth = np.full((H, W), 4.0, np.float32)
+        true_depth[sd > 0] = 2.0
+        rel = 10.0 - 3.0 * true_depth  # arbitrary affine, low = close inverted
+        rel = -rel  # make LOW = close like the reference's 255-d
+        aligned = align_depth_to_smplx(rel, sd)
+        # mesh pixels recover metric depth exactly (affine family)
+        np.testing.assert_allclose(aligned[sd > 0], 2.0, atol=1e-4)
+
+        acc = BkgCloudAccumulator((H, W))
+        img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+        mask = (sd > 0).astype(np.float32)
+        acc.add(aligned, img, mask)
+        cloud = acc.point_cloud([50.0, 50.0], [W / 2, H / 2])
+        assert cloud.shape[1] == 6
+        assert cloud.shape[0] == int((mask < 0.5).sum())
+        # center background pixel back-projects to its depth
+        assert np.isfinite(cloud).all()
