@@ -207,3 +207,53 @@ def test_overflow_reported(rng):
     )
     out = render(scene, tiny)
     assert int(np.asarray(out["tile_counts"]).max()) > 8  # uncapped count reported
+
+
+class TestBinningParity:
+    def test_sorted_matches_scan(self, rng):
+        """The pair-sort binning must reproduce the scan-compaction oracle
+        exactly (same depth ordering per tile)."""
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.ops.rasterizer.binning import (
+            bin_gaussians_scan,
+            bin_gaussians_sorted,
+        )
+        from exavatar_release_tpu.ops.rasterizer.preprocess import project_gaussians
+        from gs_scene import make_scene
+
+        sc = make_scene(rng, n=200, img=(64, 256))
+        screen = project_gaussians(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"],
+        )
+        args = (screen.mean2d, screen.radius, screen.depth, screen.in_frustum,
+                (64, 256), 8, 128, 128)
+        a = bin_gaussians_scan(*args)
+        b = bin_gaussians_sorted(*args, max_tiles_per_gaussian=64)
+        np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_counts), np.asarray(b.tile_counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_indices), np.asarray(b.tile_indices)
+        )
+
+    def test_sorted_cap_drops_tail_tiles(self, rng):
+        """A Gaussian spanning more tiles than the cap keeps its first
+        (row-major) tiles only."""
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.ops.rasterizer.binning import bin_gaussians_sorted
+
+        m2d = jnp.asarray([[128.0, 32.0]])
+        rad = jnp.asarray([1000.0])  # covers everything
+        depth = jnp.asarray([1.0])
+        vis = jnp.asarray([True])
+        out = bin_gaussians_sorted(
+            m2d, rad, depth, vis, (64, 256), 8, 128, 16,
+            max_tiles_per_gaussian=4,
+        )
+        counts = np.asarray(out.tile_counts)
+        assert counts.sum() == 4  # capped
+        assert counts[:4].sum() == 4  # row-major first tiles
