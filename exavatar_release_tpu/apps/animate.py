@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--num_views", type=int, default=50)
     ap.add_argument("--img_size", type=int, nargs=2, default=[512, 512])
     ap.add_argument("--out_dir", default="output/animate")
+    ap.add_argument("--video", action="store_true",
+                    help="also write an mp4 of the rendered frames")
+    ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--scene_capacity", type=int, default=1 << 17)
     args = ap.parse_args()
 
@@ -108,6 +111,7 @@ def main():
                 [np.asarray(hout.assets.mean_3d), np.asarray(hout.assets.rgb)], 1
             ),
         )
+        turn_frames = []
         for v in range(args.num_views):
             cam = _orbit_camera(
                 center, 2.5, 2 * math.pi * v / args.num_views,
@@ -115,10 +119,16 @@ def main():
             )
             img = render_assets(hout.assets_refined, cam)
             save_image(osp.join(args.out_dir, f"neutral_{v:04d}.png"), img)
+            turn_frames.append(np.asarray(img))
+        if args.video and turn_frames:
+            from ..utils.vis import write_video
+
+            write_video(osp.join(args.out_dir, "turntable.mp4"), turn_frames, args.fps)
         print(f"turntable written to {args.out_dir}")
         return
 
     assert args.motion_dir, "--motion_dir required unless --neutral_pose"
+    frames_out = []
     motion_files = sorted(glob(osp.join(args.motion_dir, "*.json")))
     base_cam_key = sorted(subject.cam_params.keys())[0]
     cp = subject.cam_params[base_cam_key]
@@ -155,7 +165,14 @@ def main():
         )
         img = render_assets(hout.assets_refined, cam)
         save_image(osp.join(args.out_dir, f"motion_{vi:05d}.png"), img)
+        frames_out.append(np.asarray(img))
         print(f"motion frame {vi} done")
+
+    if args.video and frames_out:
+        from ..utils.vis import write_video
+
+        write_video(osp.join(args.out_dir, "motion.mp4"), frames_out, args.fps)
+        print("wrote motion.mp4")
 
 
 if __name__ == "__main__":

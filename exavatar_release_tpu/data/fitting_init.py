@@ -108,3 +108,35 @@ def world_to_cam_root_pose(root_pose_aa: np.ndarray, cam_R: np.ndarray) -> np.nd
     return np.asarray(
         matrix_to_axis_angle(jnp.asarray(cam_R.astype(np.float32) @ R0))
     ).astype(np.float32)
+
+
+def crop_camera_intrinsics(
+    focal: np.ndarray,
+    princpt: np.ndarray,
+    bbox: np.ndarray,
+    out_shape: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rescale pinhole intrinsics so projection lands directly in a bbox
+    crop resized to ``out_shape`` (reference Custom.py:199-206: the fitting
+    supervision space and the face-crop camera)."""
+    out_h, out_w = out_shape
+    f = np.asarray(
+        [focal[0] / bbox[2] * out_w, focal[1] / bbox[3] * out_h], np.float32
+    )
+    # NOTE the reference scales BOTH principal components by out_w/bbox[2|3]
+    # (proj_shape is square there); we keep its exact algebra
+    p = np.asarray(
+        [(princpt[0] - bbox[0]) / bbox[2] * out_w,
+         (princpt[1] - bbox[1]) / bbox[3] * out_w], np.float32,
+    )
+    return f, p
+
+
+def keypoints_to_crop(kpt_xy: np.ndarray, bbox: np.ndarray,
+                      out_shape: Tuple[int, int]) -> np.ndarray:
+    """Affine-map image-space keypoints into the bbox crop space
+    (reference get_patch_img affine, Custom.py:186-188)."""
+    out_h, out_w = out_shape
+    x = (kpt_xy[:, 0] - bbox[0]) / bbox[2] * out_w
+    y = (kpt_xy[:, 1] - bbox[1]) / bbox[3] * out_h
+    return np.stack([x, y], axis=1).astype(np.float32)

@@ -218,3 +218,27 @@ class TestDepthCloud:
         assert cloud.shape[0] == int((mask < 0.5).sum())
         # center background pixel back-projects to its depth
         assert np.isfinite(cloud).all()
+
+
+class TestCropIntrinsics:
+    def test_projection_consistency(self):
+        """Projecting with cropped intrinsics equals projecting with the
+        original camera then mapping into crop space."""
+        from exavatar_release_tpu.data.fitting_init import (
+            crop_camera_intrinsics,
+            keypoints_to_crop,
+        )
+
+        focal = np.asarray([500.0, 510.0])
+        princpt = np.asarray([320.0, 240.0])
+        bbox = np.asarray([100.0, 80.0, 200.0, 200.0])  # square (reference)
+        pts = np.asarray([[0.2, 0.1, 3.0], [-0.1, 0.3, 2.5]])
+        px = pts[:, 0] / pts[:, 2] * focal[0] + princpt[0]
+        py = pts[:, 1] / pts[:, 2] * focal[1] + princpt[1]
+
+        f2, p2 = crop_camera_intrinsics(focal, princpt, bbox, (8, 8))
+        qx = pts[:, 0] / pts[:, 2] * f2[0] + p2[0]
+        qy = pts[:, 1] / pts[:, 2] * f2[1] + p2[1]
+        mapped = keypoints_to_crop(np.stack([px, py], 1), bbox, (8, 8))
+        np.testing.assert_allclose(qx, mapped[:, 0], rtol=1e-5)
+        np.testing.assert_allclose(qy, mapped[:, 1], rtol=1e-5)
