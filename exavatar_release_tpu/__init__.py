@@ -6,14 +6,18 @@ Gaussian avatar (body + hands + face) from a monocular video and animate it.
 
 Subpackages
 -----------
-core      : rotations, spherical harmonics, cameras, geometry, filters, mesh IO
-ops       : Pallas/XLA compute kernels (3DGS rasterizer, KNN, mesh raster, SSIM, LPIPS)
-models    : SMPL-X/FLAME body-model stack, scene/human Gaussian modules, avatar model
-train     : functional train step, optax param groups, densify/prune, checkpointing
-parallel  : device-mesh sharding of tiles/frames with XLA collectives
-fitting   : SMPL-X/FLAME video fitting, UV texture unwrap, parameter smoothing
-data      : COLMAP/NeuMan/Custom/XHumans dataset loaders
-tools     : evaluation (PSNR/SSIM/LPIPS), animation, turntables
+core      : rotations, spherical harmonics, cameras, geometry
+ops       : Pallas/XLA compute kernels (3DGS rasterizer, KNN, grid sampling,
+            mesh rasterizer + UV texturing, SSIM/PSNR, LPIPS)
+models    : SMPL-X/FLAME body-model stack (LBS, FK, subdivision, priors)
+avatar    : scene + human Gaussians, losses, full model composition
+train     : optax param groups, jitted train step, densify/prune, checkpoints
+parallel  : device-mesh sharding (tile-sharded rendering, DP over frames)
+fitting   : SMPL-X/FLAME video fitting, UV unwrap, parameter smoothing
+data      : COLMAP parsing, subject loading, fitting inits, depth clouds
+native    : C++ threaded decode/prefetch data loader
+utils     : logging/timers, profiling/rooflines, mesh IO, visualization
+apps      : CLIs — train / test / animate / evaluate / fit / preprocess
 """
 
 __version__ = "0.1.0"

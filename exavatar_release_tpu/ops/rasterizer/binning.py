@@ -32,6 +32,12 @@ class TileBinning(NamedTuple):
     tile_indices: jnp.ndarray  # (T, K) int32 into the SORTED array; N = sentinel
     tile_counts: jnp.ndarray  # (T,) int32 — number of valid entries (uncapped)
     num_tiles: Tuple[int, int]  # (ny, nx) static
+    # pair-sort byproducts powering the scatter-free gather backward
+    # (None from the scan algorithm):
+    pair_slot: object = None  # (N, E) int32 — sorted position of each pair
+    pair_tile: object = None  # (N*E,) int32 — tile id per sorted pair
+    starts: object = None  # (T+1,) int32 — window starts per tile
+    pair_valid: object = None  # (N, E) bool
 
 
 def tile_grid(img_shape: Tuple[int, int], tile_h: int, tile_w: int) -> Tuple[int, int]:
@@ -165,8 +171,13 @@ def bin_gaussians_sorted(
     )
     tile_flat = tile_e.reshape(-1)
     rank_flat = rank.reshape(-1)
-    tile_sorted, rank_sorted = jax.lax.sort(
-        (tile_flat, rank_flat), num_keys=2
+    iota = jnp.arange(n * E, dtype=jnp.int32)
+    tile_sorted, rank_sorted, perm = jax.lax.sort(
+        (tile_flat, rank_flat, iota), num_keys=2
+    )
+    # inverse permutation: sorted position of each original (rank, e) pair
+    pair_slot = (
+        jnp.zeros((n * E,), jnp.int32).at[perm].set(iota).reshape(n, E)
     )
 
     # per-tile windows
@@ -187,8 +198,55 @@ def bin_gaussians_sorted(
         tile_indices=tile_indices,
         tile_counts=counts,
         num_tiles=(ny, nx),
+        pair_slot=pair_slot,
+        pair_tile=tile_sorted,
+        starts=starts,
+        pair_valid=valid,
     )
 
 
 # default algorithm
 bin_gaussians = bin_gaussians_sorted
+
+
+@jax.custom_vjp
+def tile_gather(vals_pad, tile_indices, pair_slot, pair_tile, starts, pair_valid):
+    """Gather per-tile rows with a scatter-free backward.
+
+    Forward: ``vals_pad[tile_indices]`` (vals_pad: (N+1, C) depth-sorted rows
+    + sentinel; tile_indices: (T, K)). Backward: instead of XLA's serialized
+    scatter-add of the (T, K, C) cotangent into N rows, every Gaussian
+    gathers its own contributions through the pair-sort's inverse
+    permutation and sums over its <= E pairs — pure gathers, no scatter
+    (measured ~100 ms -> ~0 of the 1080p backward on v5e).
+    """
+    return vals_pad[tile_indices]
+
+
+def _tile_gather_fwd(vals_pad, tile_indices, pair_slot, pair_tile, starts, pair_valid):
+    out = vals_pad[tile_indices]
+    K = tile_indices.shape[1]
+    return out, (vals_pad.shape, pair_slot, pair_tile, starts, pair_valid, K)
+
+
+def _tile_gather_bwd(res, cot):
+    shape_pad, pair_slot, pair_tile, starts, pair_valid, K = res
+    T = cot.shape[0]
+    C = cot.shape[-1]
+    j = pair_slot  # (N, E) sorted pair position
+    t = pair_tile[j]  # (N, E) tile of each pair
+    t_ok = t < T
+    t_safe = jnp.where(t_ok, t, 0)
+    k = j - starts[t_safe]
+    ok = pair_valid & t_ok & (k >= 0) & (k < K)
+    flat = cot.reshape(T * K, C)
+    idx = jnp.clip(t_safe * K + k, 0, T * K - 1)
+    contrib = jnp.where(ok[..., None], flat[idx], 0.0)
+    dvals_rows = jnp.sum(contrib, axis=1)  # (N, C) depth-rank order
+    dvals = jnp.concatenate(
+        [dvals_rows, jnp.zeros((1, C), dvals_rows.dtype)], axis=0
+    )
+    return dvals, None, None, None, None, None
+
+
+tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)

@@ -257,3 +257,79 @@ class TestBinningParity:
         counts = np.asarray(out.tile_counts)
         assert counts.sum() == 4  # capped
         assert counts[:4].sum() == 4  # row-major first tiles
+
+
+class TestTileGatherVJP:
+    def test_gather_backward_matches_autodiff(self, rng):
+        """The scatter-free tile_gather backward must equal the autodiff
+        (scatter-add) gradient of plain indexing."""
+        import jax
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.ops.rasterizer.binning import (
+            bin_gaussians_sorted,
+            tile_gather,
+        )
+        from exavatar_release_tpu.ops.rasterizer.preprocess import project_gaussians
+        from gs_scene import make_scene
+
+        sc = make_scene(rng, n=150, img=(64, 256))
+        screen = project_gaussians(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"],
+        )
+        binning = bin_gaussians_sorted(
+            screen.mean2d, screen.radius, screen.depth, screen.in_frustum,
+            (64, 256), 8, 128, 64, max_tiles_per_gaussian=64,
+        )
+        vals = jnp.concatenate(
+            [screen.params[binning.order], jnp.zeros((1, 8))], axis=0
+        )
+        w = jnp.asarray(rng.normal(size=(binning.tile_indices.shape[0],
+                                         binning.tile_indices.shape[1], 8)).astype(np.float32))
+
+        def loss_custom(v):
+            return jnp.sum(tile_gather(
+                v, binning.tile_indices, binning.pair_slot, binning.pair_tile,
+                binning.starts, binning.pair_valid) * w)
+
+        def loss_plain(v):
+            return jnp.sum(v[binning.tile_indices] * w)
+
+        # forwards identical
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(loss_custom)(vals)),
+            np.asarray(jax.jit(loss_plain)(vals)),
+        )
+        g1 = jax.jit(jax.grad(loss_custom))(vals)
+        g2 = jax.jit(jax.grad(loss_plain))(vals)
+        # compare real rows; the sentinel row (constant in the pipeline)
+        # deliberately gets zero cotangent from the custom backward
+        np.testing.assert_allclose(
+            np.asarray(g1[:-1]), np.asarray(g2[:-1]), rtol=1e-6, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(g1[-1]), 0.0)
+
+    def test_overflow_pairs_get_zero_grad(self, rng):
+        """Pairs dropped by the max_per_tile window must not receive
+        gradient through either path."""
+        import jax
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.ops.rasterizer.binning import (
+            bin_gaussians_sorted,
+            tile_gather,
+        )
+
+        # 10 gaussians all in one tile, window K=4 -> 6 dropped
+        m2d = jnp.tile(jnp.asarray([[64.0, 4.0]]), (10, 1))
+        rad = jnp.full((10,), 2.0)
+        depth = jnp.arange(10, dtype=jnp.float32) + 1.0
+        vis = jnp.ones((10,), bool)
+        b = bin_gaussians_sorted(m2d, rad, depth, vis, (8, 128), 8, 128, 4)
+        vals = jnp.asarray(rng.normal(size=(11, 8)).astype(np.float32))
+        g = jax.grad(lambda v: jnp.sum(tile_gather(
+            v, b.tile_indices, b.pair_slot, b.pair_tile, b.starts, b.pair_valid) ** 2))(vals)
+        # only the 4 nearest (ranks 0-3) + nothing else get gradient
+        nz = np.abs(np.asarray(g)).sum(1) > 0
+        assert nz[:4].all() and not nz[4:].any()
