@@ -42,6 +42,9 @@ class RasterizeSettings:
     chunk: int = 128
     backend: str = "pallas"  # "pallas" | "ref"
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+    # cap on (gaussian, tile) pair expansion in the sort-based binning;
+    # radii are <= ~20 px after screen-size pruning so 64 is generous
+    max_tiles_per_gaussian: int = 64
     # tile-sharding over a device mesh: when set, rasterize() shards the
     # image-row axis over mesh[shard_axis] (Gaussians replicated, gradient
     # psum over ICI — the north-star sequence-parallel analog)
@@ -148,6 +151,7 @@ def rasterize(
         th,
         tw,
         settings.max_per_tile,
+        max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
     )
 
     # depth-sorted gather with a sentinel row (log_op = -1e9 → zero alpha);

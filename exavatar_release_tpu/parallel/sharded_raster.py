@@ -85,6 +85,7 @@ def rasterize_sharded(
             th,
             tw,
             settings.max_per_tile,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
         )
         params_pad = jnp.concatenate([params[binning.order], sentinel_p], axis=0)
         color_pad = jnp.concatenate([color[binning.order], sentinel_c], axis=0)
