@@ -84,16 +84,19 @@ def main():
 
     rays_per_s = H * W / dt
 
-    # speed-of-light fraction: compositing fwd+bwd must move the tile-packed
-    # Gaussian payloads (K rows x 12 f32 per tile, read twice fwd+bwd) plus
-    # images; ratio of that traffic to measured time x peak HBM BW
-    th, tw = settings.tile_h, settings.tile_w
-    tiles = -(-H // th) * (-(-W // tw))
-    bytes_tiles = tiles * settings.max_per_tile * (8 + 4) * 4
-    bytes_imgs = H * W * 5 * 4
-    total_bytes = 2 * bytes_tiles + 2 * bytes_imgs  # fwd read + bwd read/write
-    peak_bw = 1.2e12 if on_tpu else 5e10  # v5p-class HBM vs CPU memory
-    sol_time = total_bytes / peak_bw
+    # speed-of-light fraction: analytic compute/memory roofline of the
+    # compositing kernels (the irreducible work), fwd + ~2x for backward,
+    # over the measured full-step time — 1.0 would mean the ENTIRE step
+    # (projection, sort-binning, gathers included) runs at kernel SOL
+    from exavatar_release_tpu.utils.profiling import composite_roofline
+
+    peak_flops = 4.9e13 if on_tpu else 2e11  # v5e f32 MXU vs CPU
+    peak_bw = 8.0e11 if on_tpu else 5e10
+    rf = composite_roofline(
+        (H, W), settings.tile_h, settings.tile_w, settings.max_per_tile,
+        settings.chunk, peak_flops=peak_flops, peak_bw=peak_bw,
+    )
+    sol_time = 3.0 * rf["sol_time"]  # fwd + backward (~2x fwd)
     vs_baseline = sol_time / dt
 
     print(
