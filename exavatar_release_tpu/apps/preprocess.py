@@ -123,7 +123,17 @@ def main():
             cmd += ["--human_model_path", args.human_model_path]
         subprocess.run(cmd, check=True)
 
-    # 4. smooth the fitted parameters in place
+    # 4. unwrap the face texture from the fitted parameters
+    cmd = [sys.executable, "-m", "exavatar_release_tpu.apps.unwrap",
+           "--subject_root", root]
+    if args.human_model_path:
+        cmd += ["--human_model_path", args.human_model_path]
+    try:
+        subprocess.run(cmd, check=True)
+    except subprocess.CalledProcessError as e:
+        print(f"[preprocess] unwrap failed ({e}); continuing")
+
+    # 5. smooth the fitted parameters in place
     from ..fitting.smooth import smooth_sequence
 
     param_dir = osp.join(root, "smplx_optimized", "smplx_params")
