@@ -63,7 +63,8 @@ def main():
         from ..models.smplx.flame import synthetic_flame_assets
 
         smplx_assets = synthetic_smplx_assets()
-        flame_assets, _ = synthetic_flame_assets()
+        # the expression space is SHARED between the two models — keep dims equal
+        flame_assets, _ = synthetic_flame_assets(num_expr=smplx_assets.num_expr)
         prior = build_prior(smplx_assets)
         fv = np.asarray(prior.face_vertex_idx)
         Vf = flame_assets.num_vertices
@@ -74,7 +75,10 @@ def main():
     def load_dir(name):
         out = {}
         for p in glob(osp.join(args.subject_root, name, "*.json")):
-            fid = int(osp.basename(p).split(".")[0])
+            stem = osp.basename(p).split(".")[0]
+            if not stem.isdigit():  # e.g. flame_init/shape_param.json
+                continue
+            fid = int(stem)
             with open(p) as f:
                 out[fid] = {k: np.asarray(v, np.float32) for k, v in json.load(f).items()}
         return out
@@ -90,8 +94,12 @@ def main():
     assert frame_ids, "no frames with both smplx_init and keypoints"
 
     flame_shape = np.zeros(statics.flame_assets.num_shape, np.float32)
-    if frame_ids and frame_ids[0] in flame_init and "shape" in flame_init[frame_ids[0]]:
-        flame_shape = flame_init[frame_ids[0]]["shape"].reshape(-1)
+    shape_path = osp.join(args.subject_root, "flame_init", "shape_param.json")
+    if osp.exists(shape_path):
+        with open(shape_path) as f:
+            loaded = np.asarray(json.load(f), np.float32).reshape(-1)
+        n = min(loaded.size, flame_shape.size)
+        flame_shape[:n] = loaded[:n]
 
     E = statics.flame_assets.num_expr
 

@@ -64,3 +64,43 @@ def test_train_test_evaluate_cycle(subject_dir, tmp_path_factory):
     metrics = json.loads(r.stdout.strip().splitlines()[-1])
     assert set(metrics) == {"psnr", "ssim", "lpips"}
     assert np.isfinite(metrics["psnr"])
+
+
+@pytest.mark.slow
+def test_fit_unwrap_cycle(subject_dir):
+    """The fitting half's CLI chain: fit (reduced iterations via batch env)
+    then unwrap writes the reference-layout outputs."""
+    import shutil
+
+    work = subject_dir + "_fitcopy"
+    if osp.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(subject_dir, work)
+    # remove pre-baked fitted params so fit produces them
+    shutil.rmtree(osp.join(work, "smplx_optimized"))
+
+    r = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys
+sys.argv = ['fit', '--subject_root', {work!r}]
+import exavatar_release_tpu.fitting.config as C
+# shrink the stage schedule for the smoke test
+C.FittingConfig.itr_opt_num = lambda self, e: 6
+C.FittingConfig.end_epoch = 1
+from exavatar_release_tpu.apps.fit import main
+main()
+"""],
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert osp.exists(osp.join(work, "smplx_optimized", "smplx_params", "0.json"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "shape_param.json"))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.unwrap",
+         "--subject_root", work, "--uv_size", "32"],
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert osp.exists(osp.join(work, "smplx_optimized", "face_texture.png"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "face_texture_mask.png"))

@@ -73,6 +73,29 @@ def make_synthetic_subject(root, n_frames=3, H=32, W=40, seed=0):
             osp.join(root, "smplx_optimized", "smplx_params", f"{i}.json"), "w"
         ) as f:
             json.dump(params, f)
+    # detector-init layouts for the fitting chain (Hand4Whole / DECA)
+    for d in ("smplx_init", "flame_init"):
+        os.makedirs(osp.join(root, d), exist_ok=True)
+    for i in range(n_frames):
+        with open(osp.join(root, "smplx_init", f"{i}.json"), "w") as f:
+            json.dump({
+                "root_pose": rng.normal(0, 0.1, 3).tolist(),
+                "body_pose": rng.normal(0, 0.1, (21, 3)).tolist(),
+                "lhand_pose": rng.normal(0, 0.1, (15, 3)).tolist(),
+                "rhand_pose": rng.normal(0, 0.1, (15, 3)).tolist(),
+                "trans": [0.0, 0.0, 3.0],
+            }, f)
+        with open(osp.join(root, "flame_init", f"{i}.json"), "w") as f:
+            json.dump({
+                "root_pose": rng.normal(0, 0.1, 3).tolist(),
+                "neck_pose": rng.normal(0, 0.1, 3).tolist(),
+                "jaw_pose": rng.normal(0, 0.1, 3).tolist(),
+                "leye_pose": [0, 0, 0], "reye_pose": [0, 0, 0],
+                "expr": rng.normal(0, 0.3, 8).tolist(),
+                "trans": [0.0, 0.0, 3.0],
+            }, f)
+    with open(osp.join(root, "flame_init", "shape_param.json"), "w") as f:
+        json.dump(np.zeros(6).tolist(), f)
     with open(osp.join(root, "train_split.txt"), "w") as f:
         f.write("".join(f"{i}.png\n" for i in range(n_frames)))
     for name, shape in (
