@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ...core.camera import Camera
 from . import jax_ref, pallas_kernels
-from .binning import bin_gaussians, tile_gather, tile_grid
+from .binning import bin_gaussians_compact, bin_gaussians_sorted, tile_grid
 from .preprocess import ScreenGaussians, pack_tile_quads, project_gaussians
 
 
@@ -41,10 +41,25 @@ class RasterizeSettings:
     # (P x chunk) temporaries within it (256 OOMs at ~18.4 MiB)
     chunk: int = 128
     backend: str = "pallas"  # "pallas" | "ref"
+    # kernel generation. 1 (default): one grid step per tile with an
+    # internal count-bounded chunk loop. 2: chunked (T, K/chunk) grid with
+    # scalar-prefetched counts — measured SLOWER on v5e at 1080p (41.6 vs
+    # 26.6 ms fwd): v1's fori_loop already skips dead chunks, DMA is not the
+    # bottleneck, and 8x more grid steps cost more than they save. Kept for
+    # sparse/occupancy-skewed workloads where revisiting pays.
+    kernel_v: int = 1
+    # bf16 inputs for the triangular prefix matmuls (kernel_v=2 only);
+    # measured NO speedup on v5e (Mosaic runs these at f32 rate regardless)
+    prefix_bf16: bool = False
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
     # cap on (gaussian, tile) pair expansion in the sort-based binning;
     # radii are <= ~20 px after screen-size pruning so 64 is generous
     max_tiles_per_gaussian: int = 64
+    # total (gaussian, tile) pair budget for the compact binning (the
+    # default); <= 0 means 16*N. Overflow drops the DEEPEST Gaussians'
+    # pairs first. The sort runs on this budget instead of N*E — the
+    # difference is ~73 -> ~30 ms at 1080p/100k on v5e.
+    max_pairs: int = 0
     # tile-sharding over a device mesh: when set, rasterize() shards the
     # image-row axis over mesh[shard_axis] (Gaussians replicated, gradient
     # psum over ICI — the north-star sequence-parallel analog)
@@ -62,24 +77,31 @@ class RasterizeSettings:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret):
-    return pallas_kernels.composite_tiles_fwd(
-        tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _composite(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
+               kernel_v, prefix_bf16):
+    fwd = (pallas_kernels.composite_tiles_fwd_v2 if kernel_v == 2
+           else pallas_kernels.composite_tiles_fwd)
+    kw = {"prefix_bf16": prefix_bf16} if kernel_v == 2 else {}
+    return fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret, **kw)
 
 
-def _composite_fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret):
-    accum, tfinal = pallas_kernels.composite_tiles_fwd(
-        tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret
+def _composite_fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
+                   kernel_v, prefix_bf16):
+    accum, tfinal = _composite(
+        tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
+        kernel_v, prefix_bf16,
     )
     return (accum, tfinal), (tile_quad, tile_color, tile_counts, accum, tfinal)
 
 
-def _composite_bwd(tile_shape, chunk, interpret, res, cot):
+def _composite_bwd(tile_shape, chunk, interpret, kernel_v, prefix_bf16, res, cot):
     tile_quad, tile_color, tile_counts, accum, tfinal = res
     g_accum, g_tfinal = cot
-    dquad, dcolor = pallas_kernels.composite_tiles_bwd(
+    bwd = (pallas_kernels.composite_tiles_bwd_v2 if kernel_v == 2
+           else pallas_kernels.composite_tiles_bwd)
+    kw = {"prefix_bf16": prefix_bf16} if kernel_v == 2 else {}
+    dquad, dcolor = bwd(
         tile_quad,
         tile_color,
         tile_counts,
@@ -90,6 +112,7 @@ def _composite_bwd(tile_shape, chunk, interpret, res, cot):
         tile_shape,
         chunk,
         interpret,
+        **kw,
     )
     return dquad, dcolor, None
 
@@ -142,7 +165,7 @@ def rasterize(
         means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
     )
 
-    binning = bin_gaussians(
+    binning = bin_gaussians_compact(
         jax.lax.stop_gradient(screen.mean2d),
         jax.lax.stop_gradient(screen.radius),
         jax.lax.stop_gradient(screen.depth),
@@ -151,7 +174,7 @@ def rasterize(
         th,
         tw,
         settings.max_per_tile,
-        max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        max_pairs=settings.max_pairs,
     )
 
     # depth-sorted gather with a sentinel row (log_op = -1e9 → zero alpha);
@@ -185,6 +208,8 @@ def rasterize(
             (th, tw),
             settings.chunk,
             settings.resolve_interpret(),
+            settings.kernel_v,
+            settings.prefix_bf16,
         )
 
     # background composite + image assembly (T, P, C) -> (H, W, C)

@@ -239,6 +239,81 @@ class TestBinningParity:
             np.asarray(a.tile_indices), np.asarray(b.tile_indices)
         )
 
+    def test_compact_matches_scan(self, rng):
+        """The compact pair-list binning (the default) must also reproduce
+        the oracle exactly, and degrade by dropping the DEEPEST Gaussians'
+        pairs when the budget overflows (windows stay prefixes)."""
+        from exavatar_release_tpu.ops.rasterizer.binning import (
+            bin_gaussians_compact,
+            bin_gaussians_scan,
+        )
+        from exavatar_release_tpu.ops.rasterizer.preprocess import project_gaussians
+        from gs_scene import make_scene
+
+        sc = make_scene(rng, n=200, img=(64, 256))
+        screen = project_gaussians(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"],
+        )
+        args = (screen.mean2d, screen.radius, screen.depth, screen.in_frustum,
+                (64, 256), 8, 128, 128)
+        a = bin_gaussians_scan(*args)
+        b = bin_gaussians_compact(*args, max_pairs=64 * 200)
+        np.testing.assert_array_equal(np.asarray(a.order), np.asarray(b.order))
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_counts), np.asarray(b.tile_counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_indices), np.asarray(b.tile_indices)
+        )
+
+        cap = 64
+        c = bin_gaussians_compact(*args, max_pairs=cap)
+        cc = np.asarray(c.tile_counts)
+        assert cc.sum() <= cap
+        ti_full = np.asarray(a.tile_indices)
+        ti_cap = np.asarray(c.tile_indices)
+        for t in range(ti_full.shape[0]):
+            np.testing.assert_array_equal(ti_cap[t, :cc[t]], ti_full[t, :cc[t]])
+
+    def test_kernel_v2_matches_v1(self, rng):
+        """The chunked-grid kernels (kernel_v=2) must match v1 bit-for-bit
+        on live rows (dead (T, K) gradient regions are unwritten by design
+        and routed to the dropped sentinel by the consumer)."""
+        import jax
+        import jax.numpy as jnp
+
+        from exavatar_release_tpu.ops.rasterizer.api import (
+            RasterizeSettings, rasterize,
+        )
+        from gs_scene import make_scene
+
+        sc = make_scene(rng, n=150, img=(32, 128))
+        bg = jnp.zeros(3)
+
+        outs = {}
+        for kv in (1, 2):
+            settings = RasterizeSettings(
+                max_per_tile=64, chunk=16, backend="pallas", kernel_v=kv
+            )
+
+            def loss(ms, ss, qs, os_, cs):
+                r = rasterize(ms, ss, qs, os_, cs, sc["live"], sc["cam"],
+                              sc["img_shape"], bg, settings)
+                return (jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+                        + jnp.sum(r["depth"])), r["img"]
+
+            (l, img), grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4),
+                                                 has_aux=True)(
+                sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+                sc["rgbs"],
+            )
+            outs[kv] = (l, img, grads)
+
+        np.testing.assert_allclose(outs[1][1], outs[2][1], atol=1e-6)
+        for g1, g2 in zip(outs[1][2], outs[2][2]):
+            np.testing.assert_allclose(g1, g2, atol=1e-5, rtol=1e-5)
+
     def test_sorted_cap_drops_tail_tiles(self, rng):
         """A Gaussian spanning more tiles than the cap keeps its first
         (row-major) tiles only."""
