@@ -179,6 +179,50 @@ def main():
     out = sc(dq, dc, bn.tile_indices)
     print(f"scatter bwd: {timeit(sc, dq, dc, bn.tile_indices, iters=args.iters):8.2f} ms")
 
+    # ---- fused 12-channel gather / scatter (one engine pass, not two) ----
+    rows = jnp.concatenate([p.params, p.color], axis=1)
+    rows_pad = jnp.concatenate([rows[bn.order], jnp.zeros((1, 12), jnp.float32)], 0)
+
+    g12 = jax.jit(lambda r, ti: r[ti])
+    tr = g12(rows_pad, bn.tile_indices)
+    print(f"gather 12ch fused: {timeit(g12, rows_pad, bn.tile_indices, iters=args.iters):8.2f} ms")
+
+    dd = jnp.concatenate([dq, dc], axis=-1)
+    s12 = jax.jit(lambda u, ti: jnp.zeros((n + 1, 12), jnp.float32).at[ti].add(u)[:-1])
+    s12(dd, bn.tile_indices)
+    print(f"scatter 12ch fused: {timeit(s12, dd, bn.tile_indices, iters=args.iters):8.2f} ms")
+
+    # ---- the rest of the full step: pack VJP, projection VJP, assembly ----
+    def packf(tp):
+        return PP.pack_tile_quads(tp, origins[:, None, :])
+
+    tp = tr[..., :8]
+    _, pack_vjp = jax.vjp(packf, tp)
+    pv = jax.jit(lambda c: pack_vjp(c)[0])
+    pv(tq)
+    print(f"pack vjp: {timeit(pv, tq, iters=args.iters):8.2f} ms")
+
+    def proj_loss(m, s, q, o, c):
+        pr = PP.project_gaussians(m, s, q, o, c, live, cam, (H, W))
+        return jnp.sum(pr.params) + jnp.sum(pr.color) + jnp.sum(pr.mean2d)
+
+    pj = jax.jit(jax.grad(proj_loss, argnums=(0, 1, 2, 3, 4)))
+    pj(means, scales, quats, opac, rgbs)
+    print(f"project fwd+vjp: {timeit(pj, means, scales, quats, opac, rgbs, iters=args.iters):8.2f} ms")
+
+    ny_, nx_ = bn.num_tiles
+
+    def assemble(acc_, tf_):
+        rgb_tiles = acc_[..., 0:3] + tf_ * jnp.zeros(3)[None, None, :]
+        full = jnp.concatenate([rgb_tiles, acc_[..., 3:4], 1.0 - tf_], axis=-1)
+        full = full.reshape(ny_, nx_, tile_h, tile_w, 5)
+        full = full.transpose(0, 2, 1, 3, 4).reshape(ny_ * tile_h, nx_ * tile_w, 5)
+        return jnp.sum(full[:H, :W] ** 2)
+
+    asm = jax.jit(jax.grad(assemble, argnums=(0, 1)))
+    asm(acc, tf)
+    print(f"assembly fwd+vjp: {timeit(asm, acc, tf, iters=args.iters):8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
