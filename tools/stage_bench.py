@@ -210,7 +210,7 @@ def main():
     pj(means, scales, quats, opac, rgbs)
     print(f"project fwd+vjp: {timeit(pj, means, scales, quats, opac, rgbs, iters=args.iters):8.2f} ms")
 
-    ny_, nx_ = bn.num_tiles
+    ny_, nx_ = (H + tile_h - 1) // tile_h, (W + tile_w - 1) // tile_w
 
     def assemble(acc_, tf_):
         rgb_tiles = acc_[..., 0:3] + tf_ * jnp.zeros(3)[None, None, :]
