@@ -82,6 +82,17 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
+    if "--detail" in sys.argv:
+        fwd = jax.jit(loss)
+        jax.block_until_ready(fwd(means, scales, quats, opac, rgbs))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = fwd(means, scales, quats, opac, rgbs)
+        jax.block_until_ready(o)
+        dt_f = (time.perf_counter() - t0) / iters
+        print(f"# fwd-only {dt_f*1e3:.1f} ms, fwd+bwd {dt*1e3:.1f} ms, "
+              f"bwd-implied {(dt-dt_f)*1e3:.1f} ms")
+
     rays_per_s = H * W / dt
 
     # speed-of-light fraction: analytic compute/memory roofline of the

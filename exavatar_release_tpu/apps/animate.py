@@ -51,6 +51,9 @@ def main():
                     help="also write an mp4 of the rendered frames")
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--scene_capacity", type=int, default=1 << 17)
+    ap.add_argument("--triplane_ch", type=int, default=32)
+    ap.add_argument("--triplane_res", type=int, default=128)
+    ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
@@ -64,7 +67,9 @@ def main():
     from .common import build_prior_for, subject_bundle, synthetic_face_mesh
     from .test import save_image
 
-    cfg = AvatarConfig(scene_capacity=args.scene_capacity)
+    cfg = AvatarConfig(scene_capacity=args.scene_capacity,
+                       triplane_ch=args.triplane_ch,
+                       triplane_res=args.triplane_res)
     subject = load_subject(args.subject_root, split="train", repeat=1)
     prior = build_prior_for(args.human_model_path)
     flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
@@ -77,7 +82,7 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     H, W = args.img_size
-    settings = RasterizeSettings()
+    settings = RasterizeSettings(backend=args.raster_backend)
     E = prior.assets.num_expr
 
     def render_assets(assets, cam):

@@ -67,6 +67,67 @@ def test_train_test_evaluate_cycle(subject_dir, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_animate_cycle(subject_dir, tmp_path_factory):
+    """Train a tiny checkpoint then drive the animate CLI (neutral-pose
+    free-viewpoint path, reference avatar/main/animate.py)."""
+    out = str(tmp_path_factory.mktemp("anim_out"))
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+         "--subject_root", subject_dir, "--out_dir", out,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "1"] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpt = osp.join(out, "model_dump", "snapshot_0.npz")
+
+    anim_dir = osp.join(out, "animate")
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.animate",
+         "--subject_root", subject_dir, "--ckpt", ckpt,
+         "--out_dir", anim_dir, "--neutral_pose", "--view_rot",
+         "--num_views", "2", "--img_size", "32", "40"] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pngs = [f for f in os.listdir(anim_dir) if f.endswith(".png")]
+    assert len(pngs) == 2
+
+
+@pytest.mark.slow
+def test_preprocess_orchestrator(subject_dir):
+    """The preprocessing orchestrator chains virtual cams -> (external
+    detectors skipped) -> fit -> unwrap -> smooth on a subject whose
+    detector outputs already exist (reference fitting/tools/run.py)."""
+    import shutil
+
+    work = subject_dir + "_precopy"
+    if osp.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(subject_dir, work)
+    shutil.rmtree(osp.join(work, "smplx_optimized"))
+
+    r = subprocess.run(
+        [sys.executable, "-c", f"""
+import sys
+sys.argv = ['preprocess', '--subject_root', {work!r}, '--smooth_length', '3']
+import exavatar_release_tpu.fitting.config as C
+C.FittingConfig.itr_opt_num = lambda self, e: 4
+C.FittingConfig.end_epoch = 1
+from exavatar_release_tpu.apps.preprocess import main
+main()
+"""],
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    # fit outputs written and smoothed in place; unwrap texture present
+    assert osp.exists(osp.join(work, "smplx_optimized", "smplx_params", "0.json"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "face_texture.png"))
+    with open(osp.join(work, "smplx_optimized", "smplx_params", "0.json")) as f:
+        d = json.load(f)
+    assert set(d) >= {"root_pose", "body_pose", "expr", "trans"}
+
+
+@pytest.mark.slow
 def test_fit_unwrap_cycle(subject_dir):
     """The fitting half's CLI chain: fit (reduced iterations via batch env)
     then unwrap writes the reference-layout outputs."""
