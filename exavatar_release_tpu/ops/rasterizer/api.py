@@ -77,44 +77,47 @@ class RasterizeSettings:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _composite(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
-               kernel_v, prefix_bf16):
-    fwd = (pallas_kernels.composite_tiles_fwd_v2 if kernel_v == 2
-           else pallas_kernels.composite_tiles_fwd)
-    kw = {"prefix_bf16": prefix_bf16} if kernel_v == 2 else {}
-    return fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret, **kw)
-
-
-def _composite_fwd(tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
-                   kernel_v, prefix_bf16):
-    accum, tfinal = _composite(
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _composite(tile_quad, tile_color, tile_counts, tile_origins, tile_shape,
+               chunk, interpret, kernel_v, prefix_bf16):
+    """tile_origins: (T, 2) for the v1 in-kernel localization path (then
+    tile_quad rows are GLOBAL conic params), or None for pre-packed rows."""
+    if kernel_v == 2:
+        return pallas_kernels.composite_tiles_fwd_v2(
+            tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
+            prefix_bf16=prefix_bf16,
+        )
+    return pallas_kernels.composite_tiles_fwd(
         tile_quad, tile_color, tile_counts, tile_shape, chunk, interpret,
-        kernel_v, prefix_bf16,
+        tile_origins=tile_origins,
     )
-    return (accum, tfinal), (tile_quad, tile_color, tile_counts, accum, tfinal)
+
+
+def _composite_fwd(tile_quad, tile_color, tile_counts, tile_origins, tile_shape,
+                   chunk, interpret, kernel_v, prefix_bf16):
+    accum, tfinal = _composite(
+        tile_quad, tile_color, tile_counts, tile_origins, tile_shape, chunk,
+        interpret, kernel_v, prefix_bf16,
+    )
+    return (accum, tfinal), (
+        tile_quad, tile_color, tile_counts, tile_origins, accum, tfinal
+    )
 
 
 def _composite_bwd(tile_shape, chunk, interpret, kernel_v, prefix_bf16, res, cot):
-    tile_quad, tile_color, tile_counts, accum, tfinal = res
+    tile_quad, tile_color, tile_counts, tile_origins, accum, tfinal = res
     g_accum, g_tfinal = cot
-    bwd = (pallas_kernels.composite_tiles_bwd_v2 if kernel_v == 2
-           else pallas_kernels.composite_tiles_bwd)
-    kw = {"prefix_bf16": prefix_bf16} if kernel_v == 2 else {}
-    dquad, dcolor = bwd(
-        tile_quad,
-        tile_color,
-        tile_counts,
-        g_accum,
-        g_tfinal,
-        accum,
-        tfinal,
-        tile_shape,
-        chunk,
-        interpret,
-        **kw,
-    )
-    return dquad, dcolor, None
+    if kernel_v == 2:
+        dquad, dcolor = pallas_kernels.composite_tiles_bwd_v2(
+            tile_quad, tile_color, tile_counts, g_accum, g_tfinal, accum,
+            tfinal, tile_shape, chunk, interpret, prefix_bf16=prefix_bf16,
+        )
+    else:
+        dquad, dcolor = pallas_kernels.composite_tiles_bwd(
+            tile_quad, tile_color, tile_counts, g_accum, g_tfinal, accum,
+            tfinal, tile_shape, chunk, interpret, tile_origins=tile_origins,
+        )
+    return dquad, dcolor, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -197,15 +200,32 @@ def rasterize(
     origins = jnp.stack(
         [(t_ids % nx) * tw, (t_ids // nx) * th], axis=1
     ).astype(jnp.float32)
-    tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
 
     if settings.backend == "ref":
+        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
         accum, tfinal = jax_ref.composite_tiles_ref(tile_quad, tile_color, (th, tw))
-    else:
+    elif settings.kernel_v == 2:
+        # v2 kernels keep the legacy pre-packed contract
+        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
         accum, tfinal = _composite(
             tile_quad,
             tile_color,
             binning.tile_counts,
+            None,
+            (th, tw),
+            settings.chunk,
+            settings.resolve_interpret(),
+            settings.kernel_v,
+            settings.prefix_bf16,
+        )
+    else:
+        # v1: GLOBAL conic rows straight into the kernel; tile-local packing
+        # happens per chunk in VMEM (see pallas_kernels._localize)
+        accum, tfinal = _composite(
+            tile_params,
+            tile_color,
+            binning.tile_counts,
+            jax.lax.stop_gradient(origins),
             (th, tw),
             settings.chunk,
             settings.resolve_interpret(),

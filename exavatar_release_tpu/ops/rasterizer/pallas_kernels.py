@@ -72,6 +72,54 @@ def _pdot(x, m, prefix_dtype):
     )
 
 
+def _localize(quad_g, ox, oy):
+    """Tile-local quadratic coeffs from GLOBAL conic rows, inside the kernel.
+
+    quad_g rows are [A, B, C, gx, gy, log_op, _, _] in global pixel coords
+    (preprocess.ScreenGaussians.params). Same arithmetic as
+    preprocess.pack_tile_quads — moved into the kernel because XLA lays the
+    (T, K, 1) per-channel pack out with the size-1 dim on the 128-lane axis
+    (1/128 VPU efficiency, ~60 ms/step at 1080p measured on v5e)."""
+    A = quad_g[:, 0:1]
+    B = quad_g[:, 1:2]
+    C = quad_g[:, 2:3]
+    gx = quad_g[:, 3:4] - ox
+    gy = quad_g[:, 4:5] - oy
+    L = quad_g[:, 5:6]
+    c0 = -0.5 * (A * gx * gx + 2.0 * B * gx * gy + C * gy * gy) + L
+    c1 = A * gx + B * gy
+    c2 = B * gx + C * gy
+    zero = jnp.zeros_like(L)
+    return jnp.concatenate(
+        [c0, c1, c2, -0.5 * A, -B, -0.5 * C, L, zero], axis=1
+    )
+
+
+def _deloc_grads(gc, quad_g, ox, oy):
+    """VJP of _localize: cotangents w.r.t. local coeffs -> global rows."""
+    g0 = gc[:, 0:1]
+    g1 = gc[:, 1:2]
+    g2 = gc[:, 2:3]
+    g3 = gc[:, 3:4]
+    g4 = gc[:, 4:5]
+    g5 = gc[:, 5:6]
+    A = quad_g[:, 0:1]
+    B = quad_g[:, 1:2]
+    C = quad_g[:, 2:3]
+    gx = quad_g[:, 3:4] - ox
+    gy = quad_g[:, 4:5] - oy
+    c1 = A * gx + B * gy
+    c2 = B * gx + C * gy
+    dA = g1 * gx - 0.5 * g3 - 0.5 * g0 * gx * gx
+    dB = g1 * gy + g2 * gx - g4 - g0 * gx * gy
+    dC = g2 * gy - 0.5 * g5 - 0.5 * g0 * gy * gy
+    dgx = g1 * A + g2 * B - g0 * c1
+    dgy = g1 * B + g2 * C - g0 * c2
+    dL = g0
+    zero = jnp.zeros_like(dL)
+    return jnp.concatenate([dA, dB, dC, dgx, dgy, dL, zero, zero], axis=1)
+
+
 def _chunk_alphas(basis, quad, color=None):
     """Shared fwd/bwd chunk math: (alpha, alpha_unclamped_valid, q)."""
     # q[p, k] = basis[p, :] · quad[k, :6]
@@ -91,19 +139,21 @@ def _chunk_alphas(basis, quad, color=None):
 
 def _forward_kernel(
     count_ref,  # SMEM (1, 1, 1) int32
-    quad_ref,  # VMEM (1, K, 8)
+    quad_ref,  # VMEM (1, K, 8) — tile-local coeffs, or GLOBAL rows + origin
     color_ref,  # VMEM (1, K, 4)
-    accum_ref,  # out VMEM (1, P, 4)
-    tfinal_ref,  # out VMEM (1, P, 1)
-    acc,  # scratch VMEM (P, 4)
-    tcarry,  # scratch VMEM (P, 1)
-    done,  # scratch VMEM (P, 1) 0/1
-    *,
+    *rest,
     th: int,
     tw: int,
     K: int,
     chunk: int,
+    localize: bool = False,
 ):
+    if localize:
+        origin_ref, accum_ref, tfinal_ref, acc, tcarry, done = rest
+        ox = origin_ref[0, 0, 0]
+        oy = origin_ref[0, 0, 1]
+    else:
+        accum_ref, tfinal_ref, acc, tcarry, done = rest
     P = th * tw
     basis = _pixel_basis(th, tw)
     m_excl, m_incl = _tri_matrices(chunk)
@@ -117,6 +167,8 @@ def _forward_kernel(
     def body(ci, _):
         sl = pl.ds(ci * chunk, chunk)
         quad = quad_ref[0, sl, :]
+        if localize:
+            quad = _localize(quad, ox, oy)
         color = color_ref[0, sl, :]
         alpha, _ = _chunk_alphas(basis, quad)
 
@@ -147,22 +199,24 @@ def _forward_kernel(
 
 def _backward_kernel(
     count_ref,  # SMEM (1, 1, 1) int32
-    quad_ref,  # VMEM (1, K, 8)
+    quad_ref,  # VMEM (1, K, 8) — tile-local coeffs, or GLOBAL rows + origin
     color_ref,  # VMEM (1, K, 4)
     gacc_ref,  # VMEM (1, P, 4) cotangent of accum
     gtf_ref,  # VMEM (1, P, 1) cotangent of tfinal
     atot_ref,  # VMEM (1, P, 1) A_p = g_acc·accum + g_tf·tfinal
-    dquad_ref,  # out VMEM (1, K, 8)
-    dcolor_ref,  # out VMEM (1, K, 4)
-    tcarry,  # scratch VMEM (P, 1)
-    pcarry,  # scratch VMEM (P, 1)
-    done,  # scratch VMEM (P, 1)
-    *,
+    *rest,
     th: int,
     tw: int,
     K: int,
     chunk: int,
+    localize: bool = False,
 ):
+    if localize:
+        origin_ref, dquad_ref, dcolor_ref, tcarry, pcarry, done = rest
+        ox = origin_ref[0, 0, 0]
+        oy = origin_ref[0, 0, 1]
+    else:
+        dquad_ref, dcolor_ref, tcarry, pcarry, done = rest
     P = th * tw
     basis = _pixel_basis(th, tw)
     m_excl, m_incl = _tri_matrices(chunk)
@@ -180,7 +234,8 @@ def _backward_kernel(
 
     def body(ci, _):
         sl = pl.ds(ci * chunk, chunk)
-        quad = quad_ref[0, sl, :]
+        quad_g = quad_ref[0, sl, :]
+        quad = _localize(quad_g, ox, oy) if localize else quad_g
         color = color_ref[0, sl, :]
         alpha, alpha_un = _chunk_alphas(basis, quad)
 
@@ -217,6 +272,8 @@ def _backward_kernel(
         # zero the log_op lane (index 6): gradient flows via c0 only
         lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
         dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
+        if localize:
+            dquad_chunk = _deloc_grads(dquad_chunk, quad_g, ox, oy)
         dcolor_chunk = jax.lax.dot_general(
             w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
         )  # (G, 4)
@@ -531,19 +588,33 @@ def composite_tiles_fwd(
     tile_shape: Tuple[int, int],
     chunk: int = 128,
     interpret: bool = False,
+    tile_origins: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """tile_origins (T, 2) f32: when given, tile_quad rows are GLOBAL conic
+    params and the tile-local packing happens inside the kernel (the fast
+    path — see _localize); when None, rows are pre-packed local coeffs."""
     T, K, _ = tile_quad.shape
     th, tw = tile_shape
     P = th * tw
-    kern = functools.partial(_forward_kernel, th=th, tw=tw, K=K, chunk=chunk)
+    localize = tile_origins is not None
+    kern = functools.partial(
+        _forward_kernel, th=th, tw=tw, K=K, chunk=chunk, localize=localize
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
+    ]
+    args = [tile_counts.reshape(T, 1, 1).astype(jnp.int32), tile_quad, tile_color]
+    if localize:
+        # (T, 1, 2) with block (1, 1, 2): last-two dims equal the array's,
+        # satisfying the (8, 128)-or-full Pallas TPU block rule
+        in_specs.append(pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0)))
+        args.append(tile_origins.astype(F32).reshape(T, 1, 2))
     return pl.pallas_call(
         kern,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
@@ -558,7 +629,7 @@ def composite_tiles_fwd(
             pltpu.VMEM((P, 1), F32),
         ],
         interpret=interpret,
-    )(tile_counts.reshape(T, 1, 1).astype(jnp.int32), tile_quad, tile_color)
+    )(*args)
 
 
 @functools.partial(
@@ -575,24 +646,42 @@ def composite_tiles_bwd(
     tile_shape: Tuple[int, int],
     chunk: int = 128,
     interpret: bool = False,
+    tile_origins: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """With tile_origins set, consumes GLOBAL conic rows and returns
+    gradients in the GLOBAL row layout [dA,dB,dC,dgx,dgy,dlog_op,0,0]."""
     T, K, _ = tile_quad.shape
     th, tw = tile_shape
     P = th * tw
+    localize = tile_origins is not None
     # A_p = g_acc·accum + g_tf·tfinal (total downstream weight per pixel)
     a_tot = jnp.sum(g_accum * accum, axis=-1, keepdims=True) + g_tfinal * tfinal
-    kern = functools.partial(_backward_kernel, th=th, tw=tw, K=K, chunk=chunk)
+    kern = functools.partial(
+        _backward_kernel, th=th, tw=tw, K=K, chunk=chunk, localize=localize
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
+    ]
+    args = [
+        tile_counts.reshape(T, 1, 1).astype(jnp.int32),
+        tile_quad,
+        tile_color,
+        g_accum,
+        g_tfinal,
+        a_tot,
+    ]
+    if localize:
+        in_specs.append(pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0)))
+        args.append(tile_origins.astype(F32).reshape(T, 1, 2))
     return pl.pallas_call(
         kern,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, P, 4), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, P, 1), lambda t: (t, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, K, 8), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, K, 4), lambda t: (t, 0, 0)),
@@ -607,11 +696,4 @@ def composite_tiles_bwd(
             pltpu.VMEM((P, 1), F32),
         ],
         interpret=interpret,
-    )(
-        tile_counts.reshape(T, 1, 1).astype(jnp.int32),
-        tile_quad,
-        tile_color,
-        g_accum,
-        g_tfinal,
-        a_tot,
-    )
+    )(*args)

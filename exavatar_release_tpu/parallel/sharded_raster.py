@@ -98,16 +98,19 @@ def rasterize_sharded(
         ).astype(jnp.float32)
         # tile origins in GLOBAL pixel coords to match global conic params
         origins = origins + jnp.stack([jnp.zeros_like(row0), row0])[None, :]
-        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
 
         if use_ref:
+            tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
             accum, tfinal = jax_ref.composite_tiles_ref(
                 tile_quad, tile_color, (th, tw)
             )
         else:
+            # GLOBAL rows + per-tile origins: localization happens in-kernel
             accum, tfinal = _composite(
-                tile_quad, tile_color, binning.tile_counts,
+                tile_params, tile_color, binning.tile_counts,
+                jax.lax.stop_gradient(origins),
                 (th, tw), settings.chunk, interpret,
+                settings.kernel_v, settings.prefix_bf16,
             )
 
         rgb_tiles = accum[..., 0:3] + tfinal * bg[None, None, :]

@@ -36,6 +36,23 @@ def test_composite_kernels_lower_for_tpu():
         platforms=["tpu"],
     )(quad, color, counts, g1, g2, a, t)
 
+    # in-kernel localization path (GLOBAL rows + per-tile origins)
+    origins = jnp.zeros((T, 2))
+    jax.export.export(
+        jax.jit(lambda q, c, n, o: pk.composite_tiles_fwd(
+            q, c, n, (th, tw), chunk, False, tile_origins=o)),
+        platforms=["tpu"],
+    )(quad, color, counts, origins)
+    jax.export.export(
+        jax.jit(
+            lambda q, c, n, ga, gt, aa, tt, o: pk.composite_tiles_bwd(
+                q, c, n, ga, gt, aa, tt, (th, tw), chunk, False,
+                tile_origins=o,
+            )
+        ),
+        platforms=["tpu"],
+    )(quad, color, counts, g1, g2, a, t, origins)
+
 
 def test_full_rasterize_grad_lowers_for_tpu(rng):
     n = 64
