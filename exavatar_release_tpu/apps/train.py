@@ -30,13 +30,16 @@ def main():
     ap.add_argument("--triplane_ch", type=int, default=32)
     ap.add_argument("--triplane_res", type=int, default=128)
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
+    ap.add_argument("--loader", default="auto", choices=["auto", "native", "python"],
+                    help="frame decode pipeline: native C++ prefetcher or cv2")
     ap.add_argument("--max_itrs", type=int, default=None, help="debug cap")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of itrs 20-40")
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
-    from ..data.subject import load_frame_arrays, load_subject
+    from ..data.subject import FramePrefetcher, load_frame_arrays, load_subject
+    from ..native import native_available
     from ..models.smplx.flame import load_flame_uv
     from ..ops.rasterizer.api import RasterizeSettings
     from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
@@ -106,14 +109,24 @@ def main():
     key = jax.random.PRNGKey(0)
     tot_timer, gpu_timer, read_timer = Timer(), Timer(), Timer()
 
+    use_native = args.loader == "native" or (
+        args.loader == "auto" and native_available()
+    )
+    if use_native:
+        logger.info("using the native C++ prefetching frame loader")
+
     cur_itr = start_epoch * itr_per_epoch
     for epoch in range(start_epoch, cfg.end_epoch):
         order = rng.permutation(len(subject.frame_ids))
         tot_timer.tic()
         read_timer.tic()
-        for itr, k in enumerate(order):
-            frame_idx = subject.frame_ids[int(k)]
-            arrs = load_frame_arrays(subject, frame_idx)
+        frames_iter = (
+            iter(FramePrefetcher(subject, order)) if use_native
+            else (load_frame_arrays(subject, subject.frame_ids[int(k)])
+                  for k in order)
+        )
+        for itr, arrs in enumerate(frames_iter):
+            frame_idx = arrs["frame_idx"]
             arrs["frame_row"] = frame_row_of[frame_idx]
             frame = frame_to_device(arrs)
             read_timer.toc()

@@ -196,3 +196,80 @@ def load_frame_arrays(subject: SubjectData, frame_idx: int):
         "cam_param": subject.cam_params[frame_idx],
         "frame_idx": frame_idx,
     }
+
+
+class FramePrefetcher:
+    """Decode-ahead frame pipeline over the native C++ loader.
+
+    The reference hides image decode behind torch DataLoader workers
+    (avatar/main/train.py:34 DataLoader(..., num_workers=...)); here a
+    zlib + thread-pool C++ decoder (native/dataloader.cpp) keeps
+    ``lookahead`` frames in flight while the TPU step runs, and frames are
+    handed back in the submitted epoch order. Non-PNG files (or a missing
+    native toolchain) fall back to the cv2 path per frame.
+    """
+
+    def __init__(self, subject: SubjectData, order, lookahead: int = 4):
+        from ..native import NativeLoader
+
+        self.subject = subject
+        self.order = [int(k) for k in order]
+        self.lookahead = lookahead
+        self.loader = NativeLoader(num_threads=8, queue_cap=2 * lookahead + 4)
+        self._buf = {}
+        self._submitted = 0
+        self._pos = 0
+
+    def close(self):
+        self.loader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def _submit_ahead(self):
+        while (self._submitted < len(self.order)
+               and self._submitted < self._pos + self.lookahead):
+            i = self._submitted
+            fidx = self.subject.frame_ids[self.order[i]]
+            self.loader.submit(2 * i, self.subject.img_paths[fidx])
+            self.loader.submit(2 * i + 1, self.subject.mask_paths[fidx])
+            self._submitted += 1
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._pos >= len(self.order):
+            raise StopIteration
+        self._submit_ahead()
+        i = self._pos
+        want = (2 * i, 2 * i + 1)
+        while not all(w in self._buf for w in want):
+            rid, arr = self.loader.wait()
+            if rid < 0:
+                break  # queue drained; missing ids fall back below
+            self._buf[rid] = arr
+        img = self._buf.pop(want[0], None)
+        mask = self._buf.pop(want[1], None)
+        self._pos += 1
+
+        fidx = self.subject.frame_ids[self.order[i]]
+        if img is None or mask is None:  # non-PNG or decode failure
+            return load_frame_arrays(self.subject, fidx)
+        kpt = self.subject.keypoints.get(fidx)
+        if kpt is not None:
+            bbox = bbox_from_keypoints(
+                kpt[:, :2], (kpt[:, 2] > 0.5).astype(np.float32)
+            )
+        else:
+            bbox = np.array([0, 0, img.shape[2], img.shape[1]], np.float32)
+        return {
+            "img": img,
+            "mask": (mask[:1] > 0.5).astype(np.float32),
+            "bbox": bbox,
+            "cam_param": self.subject.cam_params[fidx],
+            "frame_idx": fidx,
+        }

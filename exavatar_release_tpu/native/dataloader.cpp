@@ -130,13 +130,16 @@ Image decode_png(const std::string& path) {
   img.height = height;
   img.channels = ch;
   img.data.resize(size_t(ch) * width * height);
-  // HWC uint8 -> CHW float
-  const float inv = 1.0f / 255.0f;
+  // HWC uint8 -> CHW float. A 256-entry LUT of x/255.0f keeps bit-exact
+  // parity with numpy's `astype(float32) / 255.0` (multiplying by the
+  // reciprocal differs in the last ulp and measurably perturbs training).
+  float lut[256];
+  for (int v = 0; v < 256; ++v) lut[v] = float(v) / 255.0f;
   for (int c = 0; c < ch; ++c)
     for (int y = 0; y < height; ++y)
       for (int x = 0; x < width; ++x)
         img.data[(size_t(c) * height + y) * width + x] =
-            pix[size_t(y) * stride + size_t(x) * ch + c] * inv;
+            lut[pix[size_t(y) * stride + size_t(x) * ch + c]];
   img.ok = true;
   return img;
 }

@@ -74,3 +74,29 @@ def test_bad_path_reports_error():
         ld.submit(7, "/nonexistent/file.png")
         rid, arr = ld.wait()
     assert rid == -2 and arr is None
+
+
+def test_frame_prefetcher_matches_python_path(tmp_path):
+    """FramePrefetcher must yield byte-identical frames to load_frame_arrays
+    in the submitted order."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import make_synthetic_subject
+
+    from exavatar_release_tpu.data.subject import (
+        FramePrefetcher, load_frame_arrays, load_subject,
+    )
+
+    root = str(tmp_path / "subj")
+    make_synthetic_subject(root, n_frames=3, H=24, W=32)
+    subject = load_subject(root, split="train", repeat=1)
+    order = [1, 0, 1, 2]
+    with FramePrefetcher(subject, order, lookahead=2) as pf:
+        got = list(pf)
+    assert len(got) == len(order)
+    for k, arrs in zip(order, got):
+        ref = load_frame_arrays(subject, subject.frame_ids[k])
+        assert arrs["frame_idx"] == ref["frame_idx"]
+        np.testing.assert_array_equal(arrs["img"], ref["img"])  # bit-exact
+        np.testing.assert_array_equal(arrs["mask"], ref["mask"])
+        np.testing.assert_allclose(arrs["bbox"], ref["bbox"])
