@@ -19,13 +19,13 @@ def _win_kernel(starts_ref, rank_hbm, out_ref, scratch, sem, *, K, n):
     t = pl.program_id(0)
     s0 = starts_ref[t]
     cnt = starts_ref[t + 1] - s0
-    dma = pltpu.make_async_copy(
-        rank_hbm.at[0:1, pl.ds(s0, K)], scratch, sem
-    )
+    # 1-D dynamic-offset copy from HBM (2-D lane-dim offsets crash the
+    # Mosaic compiler on v5e; 1-D goes through the generic DMA path)
+    dma = pltpu.make_async_copy(rank_hbm.at[pl.ds(s0, K)], scratch, sem)
     dma.start()
     dma.wait()
     k = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    out_ref[0] = jnp.where(k < cnt, scratch[:], n)
+    out_ref[0] = jnp.where(k < cnt, scratch[:].reshape(1, K), n)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "n", "interpret"))
@@ -38,7 +38,7 @@ def windows_dma(starts, rank_pad2, K, n, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, 1, K), lambda t, s: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, K), jnp.int32),
+            pltpu.VMEM((K,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -48,7 +48,7 @@ def windows_dma(starts, rank_pad2, K, n, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 1, K), jnp.int32),
         interpret=interpret,
-    )(starts.astype(jnp.int32), rank_pad2)
+    )(starts.astype(jnp.int32), rank_pad2.reshape(-1))
     return out.reshape(T, K)
 
 
