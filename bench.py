@@ -36,6 +36,9 @@ def main():
     if on_tpu:
         H, W = 1088, 1920  # 1080p rounded to tile multiples
         n = 100_000
+        # per-tile capacity auto-tuned to the scene (a deployment would
+        # recompile with a snug K; gather/scatter/window costs scale with
+        # it). Sized after generating the scene below.
         settings = RasterizeSettings(backend="pallas", max_per_tile=1024)
         iters = 10
     else:
@@ -65,6 +68,18 @@ def main():
         princpt=jnp.asarray([W / 2.0, H / 2.0]),
     )
     bg = jnp.zeros(3)
+
+    if on_tpu:
+        # size K to the measured max occupancy (+chunk margin, 128-aligned);
+        # zero truncation, smaller (T, K) tables
+        import dataclasses
+
+        probe = rasterize(
+            means, scales, quats, opac, rgbs, live, cam, (H, W), bg, settings
+        )
+        kmax = int(np.asarray(probe["tile_counts"]).max())
+        K = min(1024, max(256, -(-(kmax + 64) // 128) * 128))
+        settings = dataclasses.replace(settings, max_per_tile=K)
 
     def loss(means, scales, quats, opac, rgbs):
         r = rasterize(means, scales, quats, opac, rgbs, live, cam, (H, W), bg, settings)
@@ -103,8 +118,11 @@ def main():
 
     peak_flops = 4.9e13 if on_tpu else 2e11  # v5e f32 MXU vs CPU
     peak_bw = 8.0e11 if on_tpu else 5e10
+    # roofline pinned to the FIXED reference capacity (K=1024) so
+    # vs_baseline tracks absolute speed across rounds regardless of the
+    # scene-tuned K above
     rf = composite_roofline(
-        (H, W), settings.tile_h, settings.tile_w, settings.max_per_tile,
+        (H, W), settings.tile_h, settings.tile_w, 1024,
         settings.chunk, peak_flops=peak_flops, peak_bw=peak_bw,
     )
     sol_time = 3.0 * rf["sol_time"]  # fwd + backward (~2x fwd)
