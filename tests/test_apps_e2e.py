@@ -67,6 +67,29 @@ def test_train_test_evaluate_cycle(subject_dir, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_train_resume_cycle(subject_dir, tmp_path_factory):
+    """Checkpoint/resume: a second train run with --continue_train picks up
+    from the latest snapshot and trains the next epoch (reference
+    avatar/main/train.py continue_train)."""
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    base = [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+            "--subject_root", subject_dir, "--out_dir", out,
+            "--repeat", "1", "--max_itrs", "2"] + SCALE_ARGS
+
+    r = subprocess.run(base + ["--epochs", "1"], env=ENV,
+                       capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert osp.exists(osp.join(out, "model_dump", "snapshot_0.npz"))
+
+    r = subprocess.run(base + ["--epochs", "2", "--continue_train"], env=ENV,
+                       capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = open(osp.join(out, "log", "train_logs.txt")).read()
+    assert "resumed from" in log
+    assert osp.exists(osp.join(out, "model_dump", "snapshot_1.npz"))
+
+
+@pytest.mark.slow
 def test_animate_cycle(subject_dir, tmp_path_factory):
     """Train a tiny checkpoint then drive the animate CLI (neutral-pose
     free-viewpoint path, reference avatar/main/animate.py)."""
