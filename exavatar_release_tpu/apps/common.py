@@ -33,6 +33,39 @@ from ..ops.lpips import init_lpips_random, load_lpips
 from ..train.loop import ModelBundle
 
 
+def resolve_lpips(
+    lpips_weights: Optional[str], net: str = "vgg", quiet: bool = False
+):
+    """Load pretrained LPIPS weights, or fall back LOUDLY to random init.
+
+    The reference's perceptual loss is pretrained-VGG LPIPS
+    (avatar/common/nets/loss.py:80-97); results are not
+    reference-comparable with random features, so the fallback is a
+    WARNING, and a *given-but-missing* path is an error rather than a
+    silent downgrade.
+    """
+    if lpips_weights is not None:
+        if not osp.exists(lpips_weights):
+            raise FileNotFoundError(
+                f"--lpips_weights {lpips_weights!r} does not exist; refusing "
+                "to silently fall back to random LPIPS features"
+            )
+        return load_lpips(lpips_weights)
+    import logging
+
+    if quiet:  # test/animate paths never evaluate the LPIPS loss
+        return init_lpips_random(jax.random.PRNGKey(1), net)
+    logging.getLogger("exavatar").warning(
+        "LPIPS running with RANDOM %s weights (no --lpips_weights given). "
+        "Loss values and eval metrics are NOT comparable to the reference; "
+        "convert pretrained weights once with "
+        "exavatar_release_tpu.ops.lpips.convert_torch_lpips on a machine "
+        "with the `lpips` pip package.",
+        net,
+    )
+    return init_lpips_random(jax.random.PRNGKey(1), net)
+
+
 def build_prior_for(human_model_path: Optional[str], gender: str = "male"):
     """Real assets when a human_model_path is given, synthetic otherwise."""
     if human_model_path is not None and osp.exists(human_model_path):
@@ -58,6 +91,7 @@ def subject_bundle(
     flame_face_uv: np.ndarray,
     lpips_weights: Optional[str] = None,
     seed: int = 0,
+    lpips_quiet: bool = False,
 ):
     """(trainables, scene_state, bundle, frame_rows) from a loaded subject."""
     import cv2
@@ -119,11 +153,7 @@ def subject_bundle(
         tex = jnp.full((3, 16, 16), 0.5)
         texm = jnp.ones((1, 16, 16))
 
-    lpips = (
-        load_lpips(lpips_weights)
-        if lpips_weights is not None and osp.exists(lpips_weights)
-        else init_lpips_random(jax.random.PRNGKey(1), "vgg")
-    )
+    lpips = resolve_lpips(lpips_weights, "vgg", quiet=lpips_quiet)
     bundle = ModelBundle(
         buffers=buffers, prior=prior, statics=statics, id_info=id_info,
         lpips=lpips, face_texture=tex, face_texture_mask=texm,

@@ -32,13 +32,14 @@ def main():
     from ..avatar.model import forward_frame
     from ..data.subject import load_frame_arrays, load_subject
     from ..ops.image_metrics import psnr, ssim_map
-    from ..ops.lpips import init_lpips_random, load_lpips, lpips_distance
+    from ..ops.lpips import lpips_distance
     from ..ops.rasterizer.api import RasterizeSettings
     from ..train.checkpoint import load_checkpoint
     from ..train.loop import init_train_state
     from ..train.optim import make_optimizer
     from .common import (
-        build_prior_for, frame_to_device, subject_bundle, synthetic_face_mesh,
+        build_prior_for, frame_to_device, resolve_lpips, subject_bundle,
+        synthetic_face_mesh,
     )
 
     cfg = AvatarConfig(scene_capacity=args.scene_capacity, triplane_ch=args.triplane_ch, triplane_res=args.triplane_res)
@@ -46,16 +47,14 @@ def main():
     prior = build_prior_for(args.human_model_path)
     flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
-        subject, prior, cfg, flame_faces, vertex_uv, face_uv
+        subject, prior, cfg, flame_faces, vertex_uv, face_uv,
+        lpips_quiet=True,
     )
     opt = make_optimizer(trainables, cfg, 1.0, 1)
     state = init_train_state(trainables, scene_state.aux, opt)
     state, _ = load_checkpoint(args.ckpt, state)
 
-    lpips_p = (
-        load_lpips(args.lpips_weights)
-        if args.lpips_weights else init_lpips_random(jax.random.PRNGKey(0), "alex")
-    )
+    lpips_p = resolve_lpips(args.lpips_weights, "alex")
     settings = RasterizeSettings(backend=args.raster_backend)
 
     scores = {"psnr": [], "ssim": [], "lpips": []}

@@ -60,7 +60,8 @@ def main():
         flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
 
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
-        subject, prior, cfg, flame_faces, vertex_uv, face_uv
+        subject, prior, cfg, flame_faces, vertex_uv, face_uv,
+        lpips_quiet=True,
     )
     opt = make_optimizer(trainables, cfg, 1.0, 1)
     state = init_train_state(trainables, scene_state.aux, opt)

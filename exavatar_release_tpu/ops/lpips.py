@@ -158,6 +158,17 @@ def load_lpips(npz_path: str) -> LPIPSParams:
     return LPIPSParams(ws, bs, lins, str(d["net"]))
 
 
+def save_lpips(npz_path: str, params: LPIPSParams) -> None:
+    """Write params in the same .npz layout ``load_lpips`` reads."""
+    out = {"n_conv": len(params.conv_weights), "net": params.net}
+    for i, (w, b) in enumerate(zip(params.conv_weights, params.conv_biases)):
+        out[f"conv_w_{i}"] = np.asarray(w)
+        out[f"conv_b_{i}"] = np.asarray(b)
+    for i, lin in enumerate(params.lin_weights):
+        out[f"lin_{i}"] = np.asarray(lin)
+    np.savez(npz_path, **out)
+
+
 def convert_torch_lpips(out_path: str, net: str = "vgg") -> None:
     """One-time offline conversion of lpips-package weights to .npz.
 
