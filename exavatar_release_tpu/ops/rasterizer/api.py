@@ -65,6 +65,12 @@ class RasterizeSettings:
     # psum over ICI — the north-star sequence-parallel analog)
     mesh: Optional[object] = None  # jax.sharding.Mesh (hashable, jit-static)
     shard_axis: str = "tile"
+    # caller is ALREADY inside a shard_map over this named mesh axis (of the
+    # given size): render this chip's row band and all_gather the bands so
+    # the full image comes back on every chip (parallel/sharded_raster.py:
+    # rasterize_in_context). Enables one combined data x tile step.
+    in_shard_axis: Optional[str] = None
+    in_shard_size: int = 0
 
     def resolve_interpret(self) -> bool:
         if self.interpret is not None:
@@ -149,6 +155,16 @@ def rasterize(
       mask  (H, W)     accumulated alpha (1 - final transmittance)
       mean2d (N, 2), radius (N,), is_vis (N,)  — densification stats
     """
+    if settings.in_shard_axis is not None:
+        from ...parallel.sharded_raster import rasterize_in_context
+
+        return rasterize_in_context(
+            means3d, scales, quats, opacities, rgbs, live, cam, img_shape, bg,
+            settings.in_shard_axis, settings.in_shard_size,
+            dataclasses.replace(settings, in_shard_axis=None, in_shard_size=0),
+            mean2d_offset=mean2d_offset,
+        )
+
     if settings.mesh is not None:
         from ...parallel.sharded_raster import rasterize_sharded
 

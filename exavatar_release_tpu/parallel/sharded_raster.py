@@ -7,9 +7,21 @@ band, composite its tiles, emit its image slice. Under ``shard_map``
 autodiff, the transpose of the replicated-Gaussian broadcast is exactly the
 gradient ``psum`` over ICI the north star calls for — XLA inserts it.
 
-Communication analysis: forward sends nothing (Gaussians are replicated by
-sharding constraint; each chip reads them from its own HBM copy); backward
-all-reduces one (N, ...) Gaussian-gradient pytree — the psum rides ICI.
+Two entry points:
+
+- ``rasterize_sharded``: standalone — owns its own ``shard_map`` and returns
+  row-sharded images (the original round-1 API).
+- ``rasterize_in_context``: for callers ALREADY inside a ``shard_map`` whose
+  mesh has the tile axis (e.g. the combined data x tile training step,
+  parallel/dp_tile_train.py). Renders this chip's row band, then
+  ``all_gather``s the bands over the axis so every chip returns the full
+  image — downstream per-image losses run unchanged, and the gather's
+  transpose (reduce-scatter) routes each band's pixel cotangent back to its
+  owner chip.
+
+Communication analysis: forward sends one (rows/D, W, 5) slab per chip
+(in-context all_gather) or nothing (standalone; images stay sharded);
+backward all-reduces the (N, ...) Gaussian-gradient pytree — both ride ICI.
 """
 from __future__ import annotations
 
@@ -28,6 +40,127 @@ from ..ops.rasterizer.preprocess import pack_tile_quads, project_gaussians
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _render_band(
+    params: jnp.ndarray,
+    color: jnp.ndarray,
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    visible: jnp.ndarray,
+    axis: str,
+    rows_per_dev: int,
+    W: int,
+    settings: RasterizeSettings,
+) -> jnp.ndarray:
+    """Render THIS chip's row band; must run inside a shard_map over
+    ``axis``. Returns (rows_per_dev, ceil(W), 5) rgb|depth|alpha tiles.
+    """
+    th, tw = settings.tile_h, settings.tile_w
+    ny_local, nx = tile_grid((rows_per_dev, W), th, tw)
+    interpret = settings.resolve_interpret()
+    use_ref = settings.backend == "ref"
+
+    sentinel_p = jnp.zeros((1, 8), jnp.float32).at[0, 5].set(-1e9)
+    sentinel_c = jnp.zeros((1, 4), jnp.float32)
+
+    d = jax.lax.axis_index(axis)
+    row0 = (d * rows_per_dev).astype(jnp.float32)
+    # shift to the device's local viewport
+    m2d_local = mean2d - jnp.stack([jnp.zeros_like(row0), row0])[None, :]
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(m2d_local),
+        jax.lax.stop_gradient(radius),
+        jax.lax.stop_gradient(depth),
+        visible,
+        (rows_per_dev, W),
+        th,
+        tw,
+        settings.max_per_tile,
+        max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+    )
+    params_pad = jnp.concatenate([params[binning.order], sentinel_p], axis=0)
+    color_pad = jnp.concatenate([color[binning.order], sentinel_c], axis=0)
+    tile_params = params_pad[binning.tile_indices]
+    tile_color = color_pad[binning.tile_indices]
+
+    t_ids = jnp.arange(ny_local * nx, dtype=jnp.int32)
+    origins = jnp.stack(
+        [(t_ids % nx) * tw, (t_ids // nx) * th], axis=1
+    ).astype(jnp.float32)
+    # tile origins in GLOBAL pixel coords to match global conic params
+    origins = origins + jnp.stack([jnp.zeros_like(row0), row0])[None, :]
+
+    if use_ref:
+        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
+        accum, tfinal = jax_ref.composite_tiles_ref(
+            tile_quad, tile_color, (th, tw)
+        )
+    else:
+        # GLOBAL rows + per-tile origins: localization happens in-kernel
+        accum, tfinal = _composite(
+            tile_params, tile_color, binning.tile_counts,
+            jax.lax.stop_gradient(origins),
+            (th, tw), settings.chunk, interpret,
+            settings.kernel_v, settings.prefix_bf16,
+        )
+
+    # carry RAW tfinal (not alpha) so _finalize's bg composite is the exact
+    # same arithmetic as the single-device path (api.py: rgb + tfinal*bg) —
+    # a double 1-x here perturbs cotangents past grad-parity tolerances
+    full = jnp.concatenate([accum, tfinal], axis=-1)  # rgb|d|tfinal
+    full = full.reshape(ny_local, nx, th, tw, 5)
+    full = full.transpose(0, 2, 1, 3, 4).reshape(ny_local * th, nx * tw, 5)
+    return full[:, :W]  # (rows_per_dev, W, 5)
+
+
+def _finalize(full: jnp.ndarray, bg: jnp.ndarray, screen) -> Dict[str, jnp.ndarray]:
+    tfinal = full[..., 4]
+    img = full[..., 0:3] + tfinal[..., None] * bg[None, None, :]
+    return {
+        "img": img,
+        "depth": full[..., 3],
+        "mask": 1.0 - tfinal,
+        "mean2d": screen.mean2d,
+        "radius": screen.radius,
+        "is_vis": screen.radius > 0,
+    }
+
+
+def rasterize_in_context(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    live: jnp.ndarray,
+    cam: Camera,
+    img_shape: Tuple[int, int],
+    bg: jnp.ndarray,
+    axis: str,
+    axis_size: int,
+    settings: RasterizeSettings,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Row-band-sharded render for callers already inside a ``shard_map``
+    over ``axis`` (Gaussians replicated across it). Returns the FULL image
+    dict on every chip (bands exchanged with one tiled ``all_gather``).
+    """
+    H, W = int(img_shape[0]), int(img_shape[1])
+    th = settings.tile_h
+    Hp = _round_up(H, th * axis_size)
+    rows_per_dev = Hp // axis_size
+
+    screen = project_gaussians(
+        means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
+    )
+    band = _render_band(
+        screen.params, screen.color, screen.mean2d, screen.radius,
+        screen.depth, screen.in_frustum, axis, rows_per_dev, W, settings,
+    )
+    full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
+    return _finalize(full, bg, screen)
 
 
 def rasterize_sharded(
@@ -52,74 +185,19 @@ def rasterize_sharded(
     per-Gaussian stats replicated.
     """
     H, W = int(img_shape[0]), int(img_shape[1])
-    th, tw = settings.tile_h, settings.tile_w
     D = mesh.shape[axis]
-    # pad H so each device owns an equal whole number of tile rows
-    Hp = _round_up(H, th * D)
+    Hp = _round_up(H, settings.tile_h * D)
     rows_per_dev = Hp // D
-    ny_local, nx = tile_grid((rows_per_dev, W), th, tw)
 
     screen = project_gaussians(
         means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
     )
 
-    sentinel_p = jnp.zeros((1, 8), jnp.float32).at[0, 5].set(-1e9)
-    sentinel_c = jnp.zeros((1, 4), jnp.float32)
-
-    interpret = settings.resolve_interpret()
-    use_ref = settings.backend == "ref"
-
     def shard_fn(params, color, mean2d, radius, depth, visible):
-        d = jax.lax.axis_index(axis)
-        row0 = (d * rows_per_dev).astype(jnp.float32)
-        # shift to the device's local viewport
-        m2d_local = mean2d - jnp.stack(
-            [jnp.zeros_like(row0), row0]
-        )[None, :]
-        binning = bin_gaussians(
-            jax.lax.stop_gradient(m2d_local),
-            jax.lax.stop_gradient(radius),
-            jax.lax.stop_gradient(depth),
-            visible,
-            (rows_per_dev, W),
-            th,
-            tw,
-            settings.max_per_tile,
-            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        return _render_band(
+            params, color, mean2d, radius, depth, visible,
+            axis, rows_per_dev, W, settings,
         )
-        params_pad = jnp.concatenate([params[binning.order], sentinel_p], axis=0)
-        color_pad = jnp.concatenate([color[binning.order], sentinel_c], axis=0)
-        tile_params = params_pad[binning.tile_indices]
-        tile_color = color_pad[binning.tile_indices]
-
-        t_ids = jnp.arange(ny_local * nx, dtype=jnp.int32)
-        origins = jnp.stack(
-            [(t_ids % nx) * tw, (t_ids // nx) * th], axis=1
-        ).astype(jnp.float32)
-        # tile origins in GLOBAL pixel coords to match global conic params
-        origins = origins + jnp.stack([jnp.zeros_like(row0), row0])[None, :]
-
-        if use_ref:
-            tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
-            accum, tfinal = jax_ref.composite_tiles_ref(
-                tile_quad, tile_color, (th, tw)
-            )
-        else:
-            # GLOBAL rows + per-tile origins: localization happens in-kernel
-            accum, tfinal = _composite(
-                tile_params, tile_color, binning.tile_counts,
-                jax.lax.stop_gradient(origins),
-                (th, tw), settings.chunk, interpret,
-                settings.kernel_v, settings.prefix_bf16,
-            )
-
-        rgb_tiles = accum[..., 0:3] + tfinal * bg[None, None, :]
-        full = jnp.concatenate(
-            [rgb_tiles, accum[..., 3:4], 1.0 - tfinal], axis=-1
-        )
-        full = full.reshape(ny_local, nx, th, tw, 5)
-        full = full.transpose(0, 2, 1, 3, 4).reshape(ny_local * th, nx * tw, 5)
-        return full[:, :W]  # (rows_per_dev, W, 5)
 
     sharded = jax.shard_map(
         shard_fn,
@@ -132,13 +210,4 @@ def rasterize_sharded(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum,
     )  # (Hp, W, 5)
-    full = full[:H]
-
-    return {
-        "img": full[..., 0:3],
-        "depth": full[..., 3],
-        "mask": full[..., 4],
-        "mean2d": screen.mean2d,
-        "radius": screen.radius,
-        "is_vis": screen.radius > 0,
-    }
+    return _finalize(full[:H], bg, screen)

@@ -126,6 +126,89 @@ class TestDPTrain:
         assert float(state1.scene_aux.track_cnt.sum()) > 0
 
 
+class TestDPTileTrain:
+    def test_combined_mesh_matches_dp_only(self, data_mesh):
+        """One step on the 2-axis (data x tile) mesh — DP over frames AND
+        row-band-sharded rendering inside forward_frame — must produce the
+        same loss and parameter update as the DP-only step."""
+        from exavatar_release_tpu.parallel.dp_tile_train import dp_tile_train_step
+
+        s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
+        bundle = ModelBundle(
+            buffers=s.buffers, prior=s.prior, statics=s.statics,
+            id_info=s.id_info, lpips=s.lpips, face_texture=s.face_texture,
+            face_texture_mask=s.face_texture_mask,
+            init_joint_offset=s.init_joint_offset,
+        )
+        opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=100)
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *s.frame_data)
+        keys = jax.random.key_data(jax.random.split(jax.random.PRNGKey(0), 2))
+
+        # reference: DP-only step on a 2-device mesh
+        batch_dp = shard_batch_to_mesh(batch, data_mesh, "data")
+        ref_state, ref_losses = dp_train_step(
+            state, bundle, batch_dp, keys, opt, s.cfg, data_mesh, "data",
+            is_warmup=True, settings=s.settings,
+        )
+
+        mesh2 = make_mesh((2, 2), ("data", "tile"))
+        batch_2d = shard_batch_to_mesh(batch, mesh2, "data")
+        new_state, losses = dp_tile_train_step(
+            state, bundle, batch_2d, keys, opt, s.cfg, mesh2,
+            is_warmup=True, settings=s.settings,
+        )
+        np.testing.assert_allclose(
+            float(losses["total"]), float(ref_losses["total"]),
+            rtol=2e-4, atol=1e-6,
+        )
+        for a, b in zip(
+            jax.tree.leaves(new_state.trainables),
+            jax.tree.leaves(ref_state.trainables),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            )
+        # densify stats agree too
+        np.testing.assert_allclose(
+            np.asarray(new_state.scene_aux.track_cnt),
+            np.asarray(ref_state.scene_aux.track_cnt),
+        )
+
+    def test_combined_mesh_pallas_interpret(self):
+        """The combined step also runs with the Pallas (interpret) backend —
+        the flagship kernels inside the 2-axis mesh (VERDICT round-1 #2)."""
+        import dataclasses
+
+        from exavatar_release_tpu.parallel.dp_tile_train import dp_tile_train_step
+
+        s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
+        bundle = ModelBundle(
+            buffers=s.buffers, prior=s.prior, statics=s.statics,
+            id_info=s.id_info, lpips=s.lpips, face_texture=s.face_texture,
+            face_texture_mask=s.face_texture_mask,
+            init_joint_offset=s.init_joint_offset,
+        )
+        opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=100)
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *s.frame_data)
+        keys = jax.random.key_data(jax.random.split(jax.random.PRNGKey(0), 2))
+
+        mesh2 = make_mesh((2, 2), ("data", "tile"))
+        batch_2d = shard_batch_to_mesh(batch, mesh2, "data")
+        settings = dataclasses.replace(
+            s.settings, backend="pallas", interpret=True
+        )
+        new_state, losses = dp_tile_train_step(
+            state, bundle, batch_2d, keys, opt, s.cfg, mesh2,
+            is_warmup=True, settings=settings,
+        )
+        assert np.isfinite(float(losses["total"]))
+        for leaf in jax.tree.leaves(new_state.trainables):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
 class TestMeshSettingsIntegration:
     def test_forward_frame_tile_sharded_matches(self, mesh):
         """forward_frame with RasterizeSettings.mesh set must reproduce the

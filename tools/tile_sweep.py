@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--shapes", type=str, default="8x128,16x64,32x32")
+    ap.add_argument("--chunks", type=str, default="128")
     args = ap.parse_args()
 
     from exavatar_release_tpu.core.camera import Camera
@@ -61,10 +62,13 @@ def main():
     bg = jnp.zeros(3)
 
     ref_img = None
-    for spec in args.shapes.split(","):
+    import itertools
+    for spec, chunk in itertools.product(
+            args.shapes.split(","), [int(c) for c in args.chunks.split(",")]):
         th, tw = (int(v) for v in spec.split("x"))
         settings = RasterizeSettings(
-            backend="pallas", tile_h=th, tile_w=tw, max_per_tile=1024)
+            backend="pallas", tile_h=th, tile_w=tw, max_per_tile=1024,
+            chunk=chunk)
         # probe pass: occupancy -> snug K + pair budget (like bench.py)
         probe = rasterize(means, scales, quats, opac, rgbs, live, cam,
                           (H, W), bg, settings)
@@ -104,7 +108,7 @@ def main():
         jax.block_until_ready(o)
         dt_f = (time.perf_counter() - t0) / args.iters
 
-        print(f"{th:3d}x{tw:<3d} K={K:4d} pairs={counts.sum()/1e6:5.2f}M "
+        print(f"{th:3d}x{tw:<3d} c={chunk:3d} K={K:4d} pairs={counts.sum()/1e6:5.2f}M "
               f"max/tile={kmax:4d} fwd={dt_f*1e3:6.1f}ms "
               f"fwd+bwd={dt*1e3:6.1f}ms rays/s={H*W/dt/1e6:6.2f}M "
               f"img_vs_first={diff:.2e}", flush=True)
