@@ -11,8 +11,10 @@ avatar/common/nets/module.py:632-640) with an MXU-centric formulation:
   triangular matrix, so the sequential compositing recurrence also rides the
   MXU. Only exp/log1p touch the VPU.
 * CUDA's sticky early termination (a Gaussian whose test_T = T·(1−α) < 1e-4
-  is skipped and the pixel is done) is reproduced exactly with a cumulative-
-  OR, also expressed as a triangular matmul.
+  is skipped and the pixel is done) needs NO cumulative-OR: test_T =
+  tcarry·exp(Σ_{j≤k} log1p(−α_j)) and every log1p(−α) ≤ 0, so test_T is
+  monotone non-increasing within a chunk — the per-position trigger is
+  sticky by itself (saves one of the two forward triangular matmuls).
 * The backward pass re-derives dL/dα with the prefix-sum identity
   dL/dα_i = T_i·(c_i·g) − (A_p − P_i)/(1−α_i), where A_p is computed from the
   forward outputs, so no per-Gaussian transmittance needs to be stored.
@@ -178,11 +180,12 @@ def _forward_kernel(
         T_raw = jnp.exp(cum_excl) * tcarry[:]  # (P, G)
 
         # CUDA sticky early termination: first k with T·(1−α) < eps kills the
-        # pixel from k onwards (inclusive). Trigger positions computed from
-        # raw T coincide with effective T up to the first trigger.
+        # pixel from k onwards (inclusive). T_raw·(1−α) = tcarry·exp(cum_incl)
+        # with cum_incl non-increasing, so the trigger is sticky by itself —
+        # no cumulative-OR needed. Raw-T triggers coincide with effective-T
+        # triggers up to the first one, which is the only one that matters.
         trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        hit = jnp.dot(trigger, m_incl, preferred_element_type=F32)  # #triggers ≤ k
-        dead = jnp.maximum(hit, done[:])  # ≥1 → pixel done at this k
+        dead = jnp.maximum(trigger, done[:])  # ≥1 → pixel done at this k
         alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
 
         w = alpha_eff * T_raw
@@ -244,8 +247,7 @@ def _backward_kernel(
         T_raw = jnp.exp(cum_excl) * tcarry[:]
 
         trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        hit = jnp.dot(trigger, m_incl, preferred_element_type=F32)
-        dead = jnp.maximum(hit, done[:])
+        dead = jnp.maximum(trigger, done[:])  # sticky: see forward
         alive = dead == 0.0
         alpha_eff = jnp.where(alive, alpha, 0.0)
         w = alpha_eff * T_raw
@@ -355,8 +357,7 @@ def _forward_kernel_v2(
         T_raw = jnp.exp(cum_excl) * tcarry[:]
 
         trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        hit = _pdot(trigger, m_incl, prefix_dtype)
-        dead = jnp.maximum(hit, done[:])
+        dead = jnp.maximum(trigger, done[:])  # sticky: see v1 forward
         alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
 
         w = alpha_eff * T_raw
@@ -416,8 +417,7 @@ def _backward_kernel_v2(
         T_raw = jnp.exp(cum_excl) * tcarry[:]
 
         trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        hit = _pdot(trigger, m_incl, prefix_dtype)
-        dead = jnp.maximum(hit, done[:])
+        dead = jnp.maximum(trigger, done[:])  # sticky: see v1 forward
         alive = dead == 0.0
         alpha_eff = jnp.where(alive, alpha, 0.0)
         w = alpha_eff * T_raw

@@ -12,13 +12,18 @@ new capability, designed for TPU slices per the project north star:
   the ICI/DCN collectives.
 """
 from .mesh import make_mesh
-from .sharded_raster import rasterize_in_context, rasterize_sharded
+from .sharded_raster import (
+    rasterize_gaussian_sharded,
+    rasterize_in_context,
+    rasterize_sharded,
+)
 from .dp_train import dp_train_step, replicate_to_mesh
 from .dp_tile_train import dp_tile_train_step
 
 __all__ = [
     "make_mesh",
     "rasterize_sharded",
+    "rasterize_gaussian_sharded",
     "rasterize_in_context",
     "dp_train_step",
     "dp_tile_train_step",

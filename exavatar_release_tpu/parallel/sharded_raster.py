@@ -22,6 +22,15 @@ Two entry points:
 Communication analysis: forward sends one (rows/D, W, 5) slab per chip
 (in-context all_gather) or nothing (standalone; images stay sharded);
 backward all-reduces the (N, ...) Gaussian-gradient pytree — both ride ICI.
+
+``rasterize_gaussian_sharded`` goes further (the north-star exchange,
+SURVEY.md §2 "Distributed backend"): the GAUSSIANS are also sharded over the
+tile axis. Each chip projects only its N/D Gaussians, band-culls them, and an
+``all_to_all`` routes each survivor to the chips whose row band it touches —
+per-chip projection, binning, and compositing all scale as N/D·overlap
+instead of N. The exchange transpose (all_to_all is its own transpose, up to
+reversal) routes parameter cotangents back to each Gaussian's owner chip, so
+gradients need no extra psum.
 """
 from __future__ import annotations
 
@@ -161,6 +170,152 @@ def rasterize_in_context(
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
     return _finalize(full, bg, screen)
+
+
+def _exchange_to_bands(
+    payload: jnp.ndarray,
+    y: jnp.ndarray,
+    radius: jnp.ndarray,
+    visible: jnp.ndarray,
+    axis: str,
+    D: int,
+    rows_per_dev: int,
+    cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Route each local Gaussian's payload row to every row band it touches.
+
+    payload (n_loc, C): differentiable per-Gaussian rows; y/radius/visible
+    (n_loc,): band targeting (consumed under stop_gradient). Returns the
+    (D*cap, C) rows received by THIS chip's band, their validity mask, and
+    this chip's dropped-pair count (0 unless a (src, dst) bucket overflows
+    ``cap``). The compaction scatter hits unique slots, so its transpose is
+    a pure gather; ``all_to_all`` is its own transpose — parameter
+    cotangents flow back to each Gaussian's owner with no extra psum.
+    """
+    n_loc, C = payload.shape
+    y = jax.lax.stop_gradient(y)
+    r = jax.lax.stop_gradient(radius)
+    scale = 1.0 / float(rows_per_dev)
+    b_lo = jnp.clip(jnp.floor((y - r) * scale), 0, D - 1).astype(jnp.int32)
+    b_hi = jnp.clip(jnp.floor((y + r) * scale), 0, D - 1).astype(jnp.int32)
+    d_ids = jnp.arange(D, dtype=jnp.int32)[None, :]
+    hit = visible[:, None] & (d_ids >= b_lo[:, None]) & (d_ids <= b_hi[:, None])
+    slots = jnp.cumsum(hit.astype(jnp.int32), axis=0) - 1  # per-dst bucket slot
+    ok = hit & (slots < cap)
+    overflow = jnp.sum(hit.astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
+    flat = jnp.where(ok, d_ids * cap + slots, D * cap).reshape(-1)
+    src = jnp.broadcast_to(payload[:, None, :], (n_loc, D, C)).reshape(-1, C)
+    send = (
+        jnp.zeros((D * cap + 1, C), payload.dtype)
+        .at[flat].set(src, mode="drop", unique_indices=True)[:-1]
+    )
+    vsend = (
+        jnp.zeros((D * cap + 1,), bool)
+        .at[flat].set(True, mode="drop", unique_indices=True)[:-1]
+    )
+    recv = jax.lax.all_to_all(
+        send.reshape(D, cap, C), axis, split_axis=0, concat_axis=0
+    ).reshape(D * cap, C)
+    vrecv = jax.lax.all_to_all(
+        vsend.reshape(D, cap), axis, split_axis=0, concat_axis=0
+    ).reshape(D * cap)
+    return recv, vrecv, overflow
+
+
+def rasterize_gaussian_sharded(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    live: jnp.ndarray,
+    cam: Camera,
+    img_shape: Tuple[int, int],
+    bg: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "tile",
+    settings: RasterizeSettings = RasterizeSettings(),
+    cap: int = 0,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Row-band-sharded render with the GAUSSIANS sharded too.
+
+    Unlike ``rasterize_sharded`` (every chip projects and bins all N), each
+    chip owns N/D Gaussians end-to-end: it projects them, computes which row
+    bands they touch, and one ``all_to_all`` delivers each survivor to its
+    band owner(s). Per-chip projection/binning/compositing work and memory
+    scale as N/D · band-overlap.
+
+    ``cap`` bounds each (src chip → dst band) bucket; 0 auto-sizes to
+    4·ceil(N/D²) (≥ 4x the uniform-scene expectation, 128-aligned). Overflow
+    drops the DEEPEST extra pairs per bucket and is reported in the returned
+    dict (``exchange_overflow``, per-chip counts) — callers should raise cap
+    if it is ever nonzero. Comm volume: D·cap·13 f32 rows per chip each way
+    (``exchange_bytes``).
+    """
+    H, W = int(img_shape[0]), int(img_shape[1])
+    D = mesh.shape[axis]
+    Hp = _round_up(H, settings.tile_h * D)
+    rows_per_dev = Hp // D
+    n = means3d.shape[0]
+    pad = -n % D
+    if pad:
+        zf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        means3d, scales, quats, opacities, rgbs = map(
+            zf, (means3d, scales, quats, opacities, rgbs)
+        )
+        live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
+        if mean2d_offset is not None:
+            mean2d_offset = zf(mean2d_offset)
+    n_pad = n + pad
+    if cap <= 0:
+        cap = _round_up(max(4 * (-(-n_pad // (D * D))), 128), 128)
+    cap = min(cap, n_pad // D)
+    if mean2d_offset is None:
+        mean2d_offset = jnp.zeros((n_pad, 2), jnp.float32)
+
+    def shard_fn(m3, sc, qu, op, rg, lv, m2o):
+        screen = project_gaussians(m3, sc, qu, op, rg, lv, cam, (H, W), m2o)
+        payload = jnp.concatenate(
+            [screen.params, screen.color, screen.radius[:, None]], axis=1
+        )
+        recv, vrecv, overflow = _exchange_to_bands(
+            payload, screen.mean2d[:, 1], screen.radius, screen.in_frustum,
+            axis, D, rows_per_dev, cap,
+        )
+        band = _render_band(
+            recv[:, :8], recv[:, 8:12], recv[:, 3:5],
+            jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
+            axis, rows_per_dev, W, settings,
+        )
+        return (
+            band, screen.mean2d, screen.radius, screen.in_frustum,
+            overflow[None],
+        )
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    full, mean2d, radius, in_frustum, overflow = sharded(
+        means3d, scales, quats, opacities, rgbs, live, mean2d_offset
+    )
+
+    class _Screen:
+        pass
+
+    s = _Screen()
+    s.mean2d = mean2d[:n]
+    s.radius = radius[:n]
+    out = _finalize(full[:H], bg, s)
+    out["exchange_overflow"] = overflow
+    out["exchange_bytes"] = jnp.float32(D * cap * 13 * 4)
+    return out
 
 
 def rasterize_sharded(

@@ -92,6 +92,103 @@ class TestShardedRaster:
         )
 
 
+class TestGaussianSharded:
+    """The north-star exchange: Gaussians sharded over the tile axis,
+    all_to_all routing survivors to their band owners (VERDICT round-1 #3)."""
+
+    def test_matches_single_device(self, mesh, rng):
+        from exavatar_release_tpu.parallel import rasterize_gaussian_sharded
+
+        sc = make_scene(rng, n=96, img=(64, 256))
+        single = rasterize(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            SETTINGS,
+        )
+        gsh = rasterize_gaussian_sharded(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            mesh, "tile", SETTINGS,
+        )
+        assert int(np.asarray(gsh["exchange_overflow"]).sum()) == 0
+        np.testing.assert_allclose(
+            np.asarray(gsh["img"]), np.asarray(single["img"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gsh["depth"]), np.asarray(single["depth"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gsh["mask"]), np.asarray(single["mask"]), atol=1e-5
+        )
+        # densify stats keep global (N,) layout
+        np.testing.assert_allclose(
+            np.asarray(gsh["radius"]), np.asarray(single["radius"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(gsh["mean2d"]), np.asarray(single["mean2d"]), atol=1e-4
+        )
+
+    def test_gradients_match_single_device(self, mesh, rng):
+        from exavatar_release_tpu.parallel import rasterize_gaussian_sharded
+
+        sc = make_scene(rng, n=64, img=(64, 256))
+
+        def loss_single(means, scales, opac, rgbs):
+            r = rasterize(
+                means, scales, sc["quats"], opac, rgbs, sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], SETTINGS,
+            )
+            return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+
+        def loss_gsh(means, scales, opac, rgbs):
+            r = rasterize_gaussian_sharded(
+                means, scales, sc["quats"], opac, rgbs, sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], mesh, "tile", SETTINGS,
+            )
+            return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+
+        args = (sc["means3d"], sc["scales"], sc["opacities"], sc["rgbs"])
+        g1 = jax.grad(loss_single, argnums=(0, 1, 2, 3))(*args)
+        g2 = jax.grad(loss_gsh, argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4
+            )
+
+    def test_nondivisible_n_and_height(self, mesh, rng):
+        from exavatar_release_tpu.parallel import rasterize_gaussian_sharded
+
+        # n=50 not divisible by 4 devices; H=50 not divisible by 4*8 rows
+        sc = make_scene(rng, n=50, img=(50, 256))
+        single = rasterize(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            SETTINGS,
+        )
+        gsh = rasterize_gaussian_sharded(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            mesh, "tile", SETTINGS,
+        )
+        assert gsh["img"].shape == (50, 256, 3)
+        assert gsh["radius"].shape == (50,)
+        np.testing.assert_allclose(
+            np.asarray(gsh["img"]), np.asarray(single["img"]), atol=1e-5
+        )
+
+    def test_overflow_reported_not_silent(self, mesh, rng):
+        from exavatar_release_tpu.parallel import rasterize_gaussian_sharded
+
+        sc = make_scene(rng, n=96, img=(64, 256))
+        # cap far below the per-band population -> overflow must be reported
+        gsh = rasterize_gaussian_sharded(
+            sc["means3d"], sc["scales"], sc["quats"], sc["opacities"],
+            sc["rgbs"], sc["live"], sc["cam"], sc["img_shape"], sc["bg"],
+            mesh, "tile", SETTINGS, cap=2,
+        )
+        assert int(np.asarray(gsh["exchange_overflow"]).sum()) > 0
+
+
 class TestDPTrain:
     def test_dp_step_runs_and_matches_loss_scale(self, data_mesh):
         s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
