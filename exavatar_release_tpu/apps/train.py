@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--max_itrs", type=int, default=None, help="debug cap")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of itrs 20-40")
+    ap.add_argument(
+        "--mesh", default=None,
+        help="device mesh, e.g. 'data=2,tile=4': DP over frames x row-band-"
+             "sharded rendering (parallel/dp_tile_train). Each step consumes"
+             " <data> frames; needs data*tile visible devices.",
+    )
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
@@ -87,7 +93,24 @@ def main():
         subject, prior, cfg, flame_faces, vertex_uv, face_uv, args.lpips_weights
     )
 
-    itr_per_epoch = len(subject.frame_ids)
+    mesh = None
+    d_data = 1
+    if args.mesh is not None:
+        from ..parallel import make_mesh
+        from ..parallel.dp_tile_train import dp_tile_train_step
+        from ..parallel.dp_train import shard_batch_to_mesh
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        d_data = int(spec.get("data", 1))
+        d_tile = int(spec.get("tile", 1))
+        mesh = make_mesh((d_data, d_tile), ("data", "tile"))
+        logger.info(
+            f"mesh: data={d_data} x tile={d_tile} over "
+            f"{d_data * d_tile} devices; {d_data} frames per step"
+        )
+
+    # one optimizer step consumes d_data frames
+    itr_per_epoch = len(subject.frame_ids) // d_data
     tot_itr = cfg.end_epoch * itr_per_epoch
     opt = make_optimizer(
         trainables, cfg, float(subject.cam_dist_radius), tot_itr,
@@ -125,10 +148,22 @@ def main():
             else (load_frame_arrays(subject, subject.frame_ids[int(k)])
                   for k in order)
         )
-        for itr, arrs in enumerate(frames_iter):
-            frame_idx = arrs["frame_idx"]
-            arrs["frame_row"] = frame_row_of[frame_idx]
-            frame = frame_to_device(arrs)
+        def batched(it, k):
+            buf = []
+            for x in it:
+                buf.append(x)
+                if len(buf) == k:
+                    yield buf
+                    buf = []
+            # tail shorter than the data axis is dropped (shapes must stay
+            # static across steps); one epoch loses < d_data frames
+
+        for itr, arrs_list in enumerate(batched(frames_iter, d_data)):
+            frames = []
+            for arrs in arrs_list:
+                arrs["frame_row"] = frame_row_of[arrs["frame_idx"]]
+                frames.append(frame_to_device(arrs))
+            frame = frames[0]
             read_timer.toc()
 
             gpu_timer.tic()
@@ -138,12 +173,23 @@ def main():
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {args.profile_dir}")
             key, sub = jax.random.split(key)
-            state, losses = train_step(
-                state, bundle, frame, sub, opt, cfg,
-                is_warmup=cfg.is_warmup(cur_itr),
-                fit_pose_to_test=args.fit_pose_to_test,
-                settings=settings,
-            )
+            if mesh is not None:
+                batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+                batch = shard_batch_to_mesh(batch, mesh, "data")
+                keys = jax.random.key_data(jax.random.split(sub, d_data))
+                state, losses = dp_tile_train_step(
+                    state, bundle, batch, keys, opt, cfg, mesh,
+                    is_warmup=cfg.is_warmup(cur_itr),
+                    fit_pose_to_test=args.fit_pose_to_test,
+                    settings=settings,
+                )
+            else:
+                state, losses = train_step(
+                    state, bundle, frame, sub, opt, cfg,
+                    is_warmup=cfg.is_warmup(cur_itr),
+                    fit_pose_to_test=args.fit_pose_to_test,
+                    settings=settings,
+                )
             key, sub = jax.random.split(key)
             state, dstats = maybe_adjust_gaussians(
                 state, sub, cur_itr, cfg, args.fit_pose_to_test

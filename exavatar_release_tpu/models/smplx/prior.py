@@ -129,21 +129,50 @@ def _derive_part_tables(assets: SMPLXAssets) -> Tuple[np.ndarray, np.ndarray, np
     return lhand.astype(np.int32), rhand.astype(np.int32), face.astype(np.int32)
 
 
+def derive_expr_vertex_idx_flame2019(
+    flame2019_path: str,
+    face_vertex_idx: np.ndarray,
+    expr_param_dim: int = 50,
+) -> np.ndarray:
+    """Real-asset expression-vertex table (reference smpl_x.get_expr_vertex_idx,
+    avatar/common/utils/smpl_x.py:115-137): vertices with nonzero FLAME-2019
+    expression blendshape support (shapedirs columns 300:300+expr_param_dim;
+    FLAME.SHAPE_SPACE_DIM == 300), minus neck/eyeball-dominated vertices,
+    mapped to SMPL-X vertex ids through the SMPL-X<->FLAME correspondence."""
+    with open(flame2019_path, "rb") as f:
+        fl = pickle.load(f, encoding="latin1")
+    sd = np.asarray(fl["shapedirs"])
+    support = np.where(
+        (sd[:, :, 300:300 + expr_param_dim] != 0).sum((1, 2)) > 0
+    )[0]
+    weights = np.asarray(fl["weights"])
+    flame_joints = ("Neck", "Head", "Jaw", "L_Eye", "R_Eye")
+    dom = weights.argmax(1)
+    bad = np.isin(dom, [flame_joints.index(n) for n in ("Neck", "L_Eye", "R_Eye")])
+    keep = np.asarray([i for i in support if not bad[i]])
+    return np.asarray(face_vertex_idx)[keep].astype(np.int32)
+
+
 def _derive_expr_vertex_idx(
-    assets: SMPLXAssets, flame2019_path: Optional[str]
+    assets: SMPLXAssets,
+    flame2019_path: Optional[str],
+    face_vertex_idx: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Expression-driven face vertices.
 
-    Real path (reference smpl_x.get_expr_vertex_idx, :115-137): FLAME-2019
-    expr support minus neck/eyeball regions, mapped through the SMPL-X<->FLAME
-    correspondence. Without that file we use the grafted expr_dirs support of
-    the model itself minus eye-dominated verts — the same semantics computed
-    from data already in the assets.
+    Real path: ``derive_expr_vertex_idx_flame2019`` (needs the FLAME-2019
+    model file and the SMPL-X<->FLAME vertex correspondence). Without that
+    file we use the grafted expr_dirs support of the model itself minus
+    eye/neck-dominated verts — the same semantics computed from data already
+    in the assets.
     """
     if flame2019_path is not None and osp.exists(flame2019_path):
-        raise NotImplementedError(
-            "pass tables via build_prior(..., expr_vertex_idx=...) for real assets"
-        )
+        if face_vertex_idx is None:
+            raise ValueError(
+                "real FLAME-2019 derivation needs face_vertex_idx "
+                "(SMPL-X__FLAME_vertex_ids.npy; see load_prior_tables)"
+            )
+        return derive_expr_vertex_idx_flame2019(flame2019_path, face_vertex_idx)
     support = (np.abs(np.asarray(assets.expr_dirs)).sum((1, 2)) > 0)
     nearest = np.asarray(assets.lbs_weights).argmax(1)
     eye_set = [SMPLX_JOINT_NAMES.index(n) for n in ("L_Eye", "R_Eye", "Neck")]
@@ -164,16 +193,9 @@ def load_prior_tables(human_model_path: str) -> dict:
     out["rhand_vertex_idx"] = hand["right_hand"].astype(np.int32)
     flame2019 = osp.join(human_model_path, "flame", "2019", "generic_model.pkl")
     if osp.exists(flame2019):
-        with open(flame2019, "rb") as f:
-            fl = pickle.load(f, encoding="latin1")
-        sd = np.asarray(fl["shapedirs"])
-        support = np.where((sd[:, :, 300:350] != 0).sum((1, 2)) > 0)[0]
-        weights = np.asarray(fl["weights"])
-        flame_joints = ("Neck", "Head", "Jaw", "L_Eye", "R_Eye")
-        dom = weights.argmax(1)
-        bad = np.isin(dom, [flame_joints.index(n) for n in ("Neck", "L_Eye", "R_Eye")])
-        keep = [i for i in support if not bad[i]]
-        out["expr_vertex_idx"] = out["face_vertex_idx"][np.asarray(keep)].astype(np.int32)
+        out["expr_vertex_idx"] = derive_expr_vertex_idx_flame2019(
+            flame2019, out["face_vertex_idx"]
+        )
     return out
 
 

@@ -90,6 +90,44 @@ def test_train_resume_cycle(subject_dir, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_train_mesh_cli(subject_dir, tmp_path_factory):
+    """--mesh data=2,tile=2 routes training through dp_tile_train_step on a
+    virtual 8-device CPU mesh (combined DP x row-band-sharded rendering as a
+    product CLI capability, VERDICT round-1 #4)."""
+    out = str(tmp_path_factory.mktemp("mesh_out"))
+    env = dict(ENV, XLA_FLAGS=ENV.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+         "--subject_root", subject_dir, "--out_dir", out,
+         "--repeat", "2", "--epochs", "1", "--max_itrs", "2",
+         "--mesh", "data=2,tile=2"] + SCALE_ARGS,
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = open(osp.join(out, "log", "train_logs.txt")).read()
+    assert "mesh: data=2 x tile=2" in log
+    assert osp.exists(osp.join(out, "model_dump", "snapshot_0.npz"))
+
+
+@pytest.mark.slow
+def test_train_pallas_interpret_cli(subject_dir, tmp_path_factory):
+    """Train CLI on the PALLAS backend (interpret mode off-TPU): the product
+    path around the flagship kernels (VERDICT round-1 #9)."""
+    out = str(tmp_path_factory.mktemp("pallas_out"))
+    args_pallas = [a for a in SCALE_ARGS]
+    args_pallas[args_pallas.index("ref")] = "pallas"
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+         "--subject_root", subject_dir, "--out_dir", out,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "1"] + args_pallas,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert osp.exists(osp.join(out, "model_dump", "snapshot_0.npz"))
+
+
+@pytest.mark.slow
 def test_animate_cycle(subject_dir, tmp_path_factory):
     """Train a tiny checkpoint then drive the animate CLI (neutral-pose
     free-viewpoint path, reference avatar/main/animate.py)."""
