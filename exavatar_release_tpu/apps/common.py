@@ -66,6 +66,37 @@ def resolve_lpips(
     return init_lpips_random(jax.random.PRNGKey(1), net)
 
 
+def build_fit_statics_for(human_model_path: Optional[str]):
+    """Fitting statics from real assets when a path is given, synthetic
+    otherwise (shared by apps/fit.py and the smooth check-video step)."""
+    from ..fitting.model import build_fit_statics
+
+    if human_model_path:
+        from ..models.smplx.flame import load_flame_assets
+
+        smplx_assets = load_smplx_assets(human_model_path, "male")
+        flame_assets = load_flame_assets(human_model_path)
+        tables = load_prior_tables(human_model_path)
+        flip = np.load(
+            osp.join(human_model_path, "smplx",
+                     "smplx_flip_correspondences.npz")
+        )
+        return build_fit_statics(
+            smplx_assets, flame_assets, tables["face_vertex_idx"],
+            flip["closest_faces"], flip["bc"],
+        )
+    from ..models.smplx.flame import synthetic_flame_assets
+
+    smplx_assets = synthetic_smplx_assets()
+    # the expression space is SHARED between the two models — keep dims equal
+    flame_assets, _ = synthetic_flame_assets(num_expr=smplx_assets.num_expr)
+    prior = build_prior(smplx_assets)
+    fv = np.asarray(prior.face_vertex_idx)
+    Vf = flame_assets.num_vertices
+    fv = np.concatenate([fv, np.tile(fv[-1:], max(0, Vf - fv.size))])[:Vf]
+    return build_fit_statics(smplx_assets, flame_assets, fv)
+
+
 def build_prior_for(human_model_path: Optional[str], gender: str = "male"):
     """Real assets when a human_model_path is given, synthetic otherwise."""
     if human_model_path is not None and osp.exists(human_model_path):

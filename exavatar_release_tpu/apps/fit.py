@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--human_model_path", default=None)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--no_vis", action="store_true",
+                    help="skip mesh/overlay/video dumps (reference fit.py "
+                         "saves them unconditionally, fit.py:147-207)")
     args = ap.parse_args()
     out_dir = args.out_dir or osp.join(args.subject_root, "smplx_optimized")
 
@@ -42,34 +45,9 @@ def main():
     logger = make_logger(osp.join(args.subject_root, "log"), "fit_logs.txt")
 
     # assets
-    if args.human_model_path:
-        from ..models.smplx import load_prior_tables, load_smplx_assets
-        from ..models.smplx.flame import load_flame_assets
+    from .common import build_fit_statics_for
 
-        smplx_assets = load_smplx_assets(args.human_model_path, "male")
-        flame_assets = load_flame_assets(args.human_model_path)
-        tables = load_prior_tables(args.human_model_path)
-        face_vertex_idx = tables["face_vertex_idx"]
-        flip = np.load(
-            osp.join(args.human_model_path, "smplx",
-                     "smplx_flip_correspondences.npz")
-        )
-        statics = build_fit_statics(
-            smplx_assets, flame_assets, face_vertex_idx,
-            flip["closest_faces"], flip["bc"],
-        )
-    else:
-        from ..models.smplx import build_prior, synthetic_smplx_assets
-        from ..models.smplx.flame import synthetic_flame_assets
-
-        smplx_assets = synthetic_smplx_assets()
-        # the expression space is SHARED between the two models — keep dims equal
-        flame_assets, _ = synthetic_flame_assets(num_expr=smplx_assets.num_expr)
-        prior = build_prior(smplx_assets)
-        fv = np.asarray(prior.face_vertex_idx)
-        Vf = flame_assets.num_vertices
-        fv = (np.concatenate([fv, np.tile(fv[-1:], max(0, Vf - fv.size))])[:Vf])
-        statics = build_fit_statics(smplx_assets, flame_assets, fv)
+    statics = build_fit_statics_for(args.human_model_path)
 
     # initial per-frame estimates (Hand4Whole smplx_init/, DECA flame_init/)
     def load_dir(name):
@@ -206,7 +184,93 @@ def main():
     ):
         with open(osp.join(out_dir, name), "w") as f:
             json.dump(np.asarray(arr).tolist(), f)
+
+    if not args.no_vis:
+        _save_fit_vis(args, out_dir, statics, p, frame_ids, logger)
     logger.info(f"fitting results written to {out_dir}")
+
+
+def _save_fit_vis(args, out_dir, statics, p, frame_ids, logger):
+    """Fit-time correctness instruments (reference fitting/main/fit.py:147-207):
+    per-frame fitted SMPL-X/FLAME meshes, one-time canonical meshes, overlay
+    renders over the video frames, and the side-by-side check video."""
+    import cv2
+    import jax as _jax
+
+    from ..fitting.model import _decode_frame, flame_coords, smplx_coords
+    from ..utils.mesh_io import save_ply
+    from ..utils.vis import render_mesh_overlay, write_video
+
+    meshes_dir = osp.join(out_dir, "meshes")
+    renders_dir = osp.join(out_dir, "renders")
+    os.makedirs(meshes_dir, exist_ok=True)
+    os.makedirs(renders_dir, exist_ok=True)
+    sfaces = np.asarray(statics.smplx_assets.faces)
+    ffaces = np.asarray(statics.flame_assets.faces)
+
+    # one-time canonical meshes (reference fit.py:149-153)
+    sp0, fp0 = _decode_frame(p, 0)
+    z3 = jnp.zeros(3)
+    mesh_wo, _, _ = smplx_coords(
+        statics, sp0, z3, p, use_pose=False, use_expr=False
+    )
+    save_ply(osp.join(out_dir, "smplx_wo_pose_wo_expr.ply"),
+             np.asarray(mesh_wo), sfaces)
+    mesh_wo_fo, _, _ = smplx_coords(
+        statics, sp0, z3, p, use_pose=False, use_expr=False,
+        use_face_offset=False,
+    )
+    save_ply(osp.join(out_dir, "smplx_wo_pose_wo_expr_wo_fo.ply"),
+             np.asarray(mesh_wo_fo), sfaces)
+    fmesh_wo, _ = flame_coords(statics, fp0, z3, use_pose=False, use_expr=False)
+    save_ply(osp.join(out_dir, "flame_wo_pose_wo_expr.ply"),
+             np.asarray(fmesh_wo), ffaces)
+
+    decode = _jax.jit(lambda i: _fit_vis_meshes(statics, p, i))
+    video_frames = []
+    for i, fid in enumerate(frame_ids):
+        mesh, fmesh = decode(i)
+        save_ply(osp.join(meshes_dir, f"{fid}_smplx.ply"), np.asarray(mesh),
+                 sfaces)
+        save_ply(osp.join(meshes_dir, f"{fid}_flame.ply"), np.asarray(fmesh),
+                 ffaces)
+
+        img_path = None
+        for ext in (".png", ".jpg"):
+            cand = osp.join(args.subject_root, "images", f"{fid}{ext}")
+            if osp.exists(cand):
+                img_path = cand
+                break
+        cam_path = osp.join(args.subject_root, "cam_params", f"{fid}.json")
+        if img_path is None or not osp.exists(cam_path):
+            continue
+        img = cv2.imread(img_path)[:, :, ::-1].astype(np.float32) / 255.0
+        with open(cam_path) as f:
+            camd = json.load(f)
+        overlay = render_mesh_overlay(
+            img, mesh, jnp.asarray(sfaces),
+            np.asarray(camd["focal"], np.float32),
+            np.asarray(camd["princpt"], np.float32),
+        )
+        cv2.imwrite(osp.join(renders_dir, f"{fid}_smplx.jpg"),
+                    (np.clip(overlay, 0, 1)[:, :, ::-1] * 255).astype(np.uint8))
+        video_frames.append(np.concatenate([img, overlay], axis=1))
+
+    if video_frames:
+        write_video(
+            osp.join(osp.dirname(out_dir) or ".", "smplx_optimized.mp4"),
+            video_frames,
+        )
+        logger.info(f"check video: {len(video_frames)} frames")
+
+
+def _fit_vis_meshes(statics, p, i):
+    from ..fitting.model import _decode_frame, flame_coords, smplx_coords
+
+    sp, fp = _decode_frame(p, i)
+    mesh, _, _ = smplx_coords(statics, sp, p.smplx_trans[i], p)
+    fmesh, _ = flame_coords(statics, fp, p.flame_trans[i])
+    return mesh, fmesh
 
 
 if __name__ == "__main__":

@@ -97,6 +97,8 @@ def main():
     ap.add_argument("--depth_cmd", default="")
     ap.add_argument("--smooth_length", type=int, default=9)
     ap.add_argument("--skip_fit", action="store_true")
+    ap.add_argument("--no_vis", action="store_true",
+                    help="skip the smoothed-parameter check video")
     args = ap.parse_args()
     root = args.subject_root
 
@@ -150,7 +152,108 @@ def main():
                 json.dump({k: np.asarray(v).tolist() for k, v in s.items()}, f)
         print(f"[preprocess] smoothed {len(files)} frames")
 
+        if not args.no_vis:
+            try:
+                smooth_check_video(root, args.human_model_path, files, smoothed)
+            except Exception as e:  # the video is an instrument, not a gate
+                print(f"[preprocess] smooth check video failed ({e}); continuing")
+
     print("[preprocess] done")
+
+
+def smooth_check_video(root, human_model_path, files, smoothed):
+    """Re-render the SMOOTHED parameters: per-frame meshes, overlay renders,
+    and the side-by-side check video (reference
+    fitting/tools/smooth_smplx_params.py:148-205)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ..fitting.params import init_fitting_params
+    from ..utils.mesh_io import save_ply
+    from ..utils.vis import render_mesh_overlay, write_video
+    from .common import build_fit_statics_for
+    from .fit import _fit_vis_meshes
+
+    statics = build_fit_statics_for(human_model_path)
+    out_dir = osp.join(root, "smplx_optimized")
+
+    def load_json(name, default):
+        p = osp.join(out_dir, name)
+        if osp.exists(p):
+            with open(p) as f:
+                return np.asarray(json.load(f), np.float32)
+        return default
+
+    a = statics.smplx_assets
+    shape = load_json("shape_param.json", np.zeros(a.num_shape, np.float32))
+    joint_offset = load_json(
+        "joint_offset.json", np.zeros((a.num_joints, 3), np.float32))
+    locator_offset = load_json(
+        "locator_offset.json", np.zeros((a.num_joints, 3), np.float32))
+    face_offset = load_json(
+        "face_offset.json",
+        np.zeros((statics.flame_assets.num_vertices, 3), np.float32))
+
+    E = statics.flame_assets.num_expr
+    z3 = np.zeros(3, np.float32)
+    flame_stub = [
+        {"root_pose": z3, "neck_pose": z3, "jaw_pose": s["jaw_pose"],
+         "leye_pose": s["leye_pose"], "reye_pose": s["reye_pose"],
+         "expr": np.asarray(s["expr"], np.float32).reshape(-1)[:E],
+         "trans": np.asarray(s["trans"], np.float32)}
+        for s in smoothed
+    ]
+    params = init_fitting_params(
+        smoothed, flame_stub, np.zeros(statics.flame_assets.num_shape),
+        a.num_shape, statics.flame_assets.num_vertices, a.num_joints,
+    ).replace(
+        smplx_shape=jnp.asarray(shape.reshape(-1)[: a.num_shape]),
+        joint_offset=jnp.asarray(joint_offset),
+        locator_offset=jnp.asarray(locator_offset),
+        face_offset=jnp.asarray(face_offset),
+    )
+
+    meshes_dir = osp.join(out_dir, "meshes_smoothed")
+    renders_dir = osp.join(out_dir, "renders_smoothed")
+    os.makedirs(meshes_dir, exist_ok=True)
+    os.makedirs(renders_dir, exist_ok=True)
+    sfaces = np.asarray(a.faces)
+    decode = jax.jit(lambda i: _fit_vis_meshes(statics, params, i)[0])
+
+    video_frames = []
+    for i, p in enumerate(files):
+        fid = int(osp.basename(p).split(".")[0])
+        mesh = decode(i)
+        save_ply(osp.join(meshes_dir, f"{fid}_smplx.ply"), np.asarray(mesh),
+                 sfaces)
+        img_path = None
+        for sub in ("images", "frames"):
+            for ext in (".png", ".jpg"):
+                cand = osp.join(root, sub, f"{fid}{ext}")
+                if osp.exists(cand):
+                    img_path = cand
+                    break
+            if img_path:
+                break
+        cam_path = osp.join(root, "cam_params", f"{fid}.json")
+        if img_path is None or not osp.exists(cam_path):
+            continue
+        img = cv2.imread(img_path)[:, :, ::-1].astype(np.float32) / 255.0
+        with open(cam_path) as f:
+            camd = json.load(f)
+        overlay = render_mesh_overlay(
+            img, mesh, jnp.asarray(sfaces),
+            np.asarray(camd["focal"], np.float32),
+            np.asarray(camd["princpt"], np.float32),
+        )
+        cv2.imwrite(osp.join(renders_dir, f"{fid}_smplx.jpg"),
+                    (np.clip(overlay, 0, 1)[:, :, ::-1] * 255).astype(np.uint8))
+        video_frames.append(np.concatenate([img, overlay], axis=1))
+
+    if video_frames:
+        write_video(osp.join(root, "smplx_optimized_smoothed.mp4"), video_frames)
+        print(f"[preprocess] smooth check video: {len(video_frames)} frames")
 
 
 if __name__ == "__main__":

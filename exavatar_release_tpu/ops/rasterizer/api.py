@@ -34,11 +34,15 @@ from .preprocess import ScreenGaussians, pack_tile_quads, project_gaussians
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeSettings:
-    tile_h: int = 8
+    # taller tiles shrink the (gaussian, tile) pair count — the sort/gather/
+    # scatter/binning stages all scale with it. Measured on v5e at
+    # 1080p/100k: tile_h 8 -> 16 -> 32 cut pairs 1.19M -> 662k -> 399k and
+    # the full fwd+bwd step ~167 -> ~123 ms; composite FLOPs stay flat
+    # (pairs x P is shape-invariant). Needs the raised kernel VMEM cap
+    # (pallas_kernels._compiler_params) for P = tile_h*tile_w > 1024.
+    tile_h: int = 32
     tile_w: int = 128
     max_per_tile: int = 1024
-    # v5e scoped VMEM is 16 MiB; chunk=128 keeps the backward kernel's
-    # (P x chunk) temporaries within it (256 OOMs at ~18.4 MiB)
     chunk: int = 128
     backend: str = "pallas"  # "pallas" | "ref"
     # kernel generation. 1 (default): one grid step per tile with an

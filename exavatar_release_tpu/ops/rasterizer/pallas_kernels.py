@@ -42,6 +42,16 @@ _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.99
 
 
+def _compiler_params(interpret: bool):
+    """Raise the scoped-VMEM cap: the default 16 MiB rejects P=2048 tiles
+    (the (P, chunk) body temporaries are lane-padded to 128 and there are
+    ~14 of them live). v5e has 128 MiB of VMEM; the cap is a guard, not an
+    allocation — small tiles are unaffected."""
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pixel_basis(th: int, tw: int) -> jnp.ndarray:
     """(P, 8) polynomial basis at tile-local pixel coords, row-major."""
     P = th * tw
@@ -509,6 +519,7 @@ def composite_tiles_fwd_v2(
             jax.ShapeDtypeStruct((T, P, 1), F32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(tile_counts.astype(jnp.int32), tile_quad, tile_color)
 
 
@@ -569,6 +580,7 @@ def composite_tiles_bwd_v2(
             jax.ShapeDtypeStruct((T, K, 4), F32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(
         tile_counts.astype(jnp.int32),
         tile_quad,
@@ -629,6 +641,7 @@ def composite_tiles_fwd(
             pltpu.VMEM((P, 1), F32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*args)
 
 
@@ -696,4 +709,5 @@ def composite_tiles_bwd(
             pltpu.VMEM((P, 1), F32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*args)

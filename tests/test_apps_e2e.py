@@ -186,6 +186,11 @@ main()
     with open(osp.join(work, "smplx_optimized", "smplx_params", "0.json")) as f:
         d = json.load(f)
     assert set(d) >= {"root_pose", "body_pose", "expr", "trans"}
+    # smoothed-parameter re-render (reference smooth_smplx_params.py:148-205);
+    # overlay renders/video need cam_params/, absent for this COLMAP subject
+    assert osp.exists(
+        osp.join(work, "smplx_optimized", "meshes_smoothed", "0_smplx.ply")
+    )
 
 
 @pytest.mark.slow
@@ -217,6 +222,13 @@ main()
     assert r.returncode == 0, r.stderr[-3000:]
     assert osp.exists(osp.join(work, "smplx_optimized", "smplx_params", "0.json"))
     assert osp.exists(osp.join(work, "smplx_optimized", "shape_param.json"))
+    # fit-time correctness instruments (reference fit.py:147-207): per-frame
+    # meshes + one-time canonical meshes; overlay renders/video need
+    # cam_params/ which this subject lacks (covered via preprocess cycle)
+    assert osp.exists(osp.join(work, "smplx_optimized", "meshes", "0_smplx.ply"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "meshes", "0_flame.ply"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "smplx_wo_pose_wo_expr.ply"))
+    assert osp.exists(osp.join(work, "smplx_optimized", "flame_wo_pose_wo_expr.ply"))
 
     r = subprocess.run(
         [sys.executable, "-m", "exavatar_release_tpu.apps.unwrap",
