@@ -177,32 +177,40 @@ def _forward_kernel(
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
     def body(ci, _):
-        sl = pl.ds(ci * chunk, chunk)
-        quad = quad_ref[0, sl, :]
-        if localize:
-            quad = _localize(quad, ox, oy)
-        color = color_ref[0, sl, :]
-        alpha, _ = _chunk_alphas(basis, quad)
+        # skip the chunk entirely once every pixel hit CUDA early
+        # termination — renderCUDA's `done` break; opaque scenes terminate
+        # after a few dozen Gaussians, so most of a deep tile's chunks skip
+        @pl.when(jnp.min(done[:]) < 1.0)
+        def _compute():
+            sl = pl.ds(ci * chunk, chunk)
+            quad = quad_ref[0, sl, :]
+            if localize:
+                quad_l = _localize(quad, ox, oy)
+            else:
+                quad_l = quad
+            color = color_ref[0, sl, :]
+            alpha, _ = _chunk_alphas(basis, quad_l)
 
-        # raw prefix transmittance within chunk (exclusive), in log space
-        wlog = jnp.log1p(-alpha)
-        cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
-        T_raw = jnp.exp(cum_excl) * tcarry[:]  # (P, G)
+            # raw prefix transmittance within chunk (exclusive), in log space
+            wlog = jnp.log1p(-alpha)
+            cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+            T_raw = jnp.exp(cum_excl) * tcarry[:]  # (P, G)
 
-        # CUDA sticky early termination: first k with T·(1−α) < eps kills the
-        # pixel from k onwards (inclusive). T_raw·(1−α) = tcarry·exp(cum_incl)
-        # with cum_incl non-increasing, so the trigger is sticky by itself —
-        # no cumulative-OR needed. Raw-T triggers coincide with effective-T
-        # triggers up to the first one, which is the only one that matters.
-        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        dead = jnp.maximum(trigger, done[:])  # ≥1 → pixel done at this k
-        alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+            # CUDA sticky early termination: first k with T·(1−α) < eps kills
+            # the pixel from k onwards (inclusive). T_raw·(1−α) =
+            # tcarry·exp(cum_incl) with cum_incl non-increasing, so the
+            # trigger is sticky by itself — no cumulative-OR needed. Raw-T
+            # triggers coincide with effective-T triggers up to the first
+            # one, which is the only one that matters.
+            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+            dead = jnp.maximum(trigger, done[:])  # ≥1 → pixel done at this k
+            alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
 
-        w = alpha_eff * T_raw
-        acc[:] += jnp.dot(w, color, preferred_element_type=F32)
-        wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
-        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+            w = alpha_eff * T_raw
+            acc[:] += jnp.dot(w, color, preferred_element_type=F32)
+            wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+            done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
@@ -246,56 +254,63 @@ def _backward_kernel(
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
     def body(ci, _):
-        sl = pl.ds(ci * chunk, chunk)
-        quad_g = quad_ref[0, sl, :]
-        quad = _localize(quad_g, ox, oy) if localize else quad_g
-        color = color_ref[0, sl, :]
-        alpha, alpha_un = _chunk_alphas(basis, quad)
+        # dead chunks contribute zero gradient; dquad/dcolor were zeroed at
+        # kernel start, so skipping the whole chunk is exact (see forward)
+        @pl.when(jnp.min(done[:]) < 1.0)
+        def _compute():
+            sl = pl.ds(ci * chunk, chunk)
+            quad_g = quad_ref[0, sl, :]
+            quad = _localize(quad_g, ox, oy) if localize else quad_g
+            color = color_ref[0, sl, :]
+            alpha, alpha_un = _chunk_alphas(basis, quad)
 
-        wlog = jnp.log1p(-alpha)
-        cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
-        T_raw = jnp.exp(cum_excl) * tcarry[:]
+            wlog = jnp.log1p(-alpha)
+            cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+            T_raw = jnp.exp(cum_excl) * tcarry[:]
 
-        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        dead = jnp.maximum(trigger, done[:])  # sticky: see forward
-        alive = dead == 0.0
-        alpha_eff = jnp.where(alive, alpha, 0.0)
-        w = alpha_eff * T_raw
+            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+            dead = jnp.maximum(trigger, done[:])  # sticky: see forward
+            alive = dead == 0.0
+            alpha_eff = jnp.where(alive, alpha, 0.0)
+            w = alpha_eff * T_raw
 
-        # cg[p, k] = color_k · g_acc_p
-        cg = jax.lax.dot_general(
-            g_acc, color, (((1,), (1,)), ((), ())), preferred_element_type=F32
-        )  # (P, G)
-        wcg = w * cg
-        P_incl = pcarry[:] + jnp.dot(wcg, m_incl, preferred_element_type=F32)
-        # dL/dα_i = T_i·cg_i − (A_p − P_i)/(1−α_i)
-        dalpha = jnp.where(
-            alive,
-            T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
-            0.0,
-        )
-        # CUDA convention: d(alpha)/d(q) = exp(q) even past the 0.99 clamp
-        dq = dalpha * alpha_un  # (P, G)
+            # cg[p, k] = color_k · g_acc_p
+            cg = jax.lax.dot_general(
+                g_acc, color, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+            )  # (P, G)
+            wcg = w * cg
+            P_incl = pcarry[:] + jnp.dot(
+                wcg, m_incl, preferred_element_type=F32
+            )
+            # dL/dα_i = T_i·cg_i − (A_p − P_i)/(1−α_i)
+            dalpha = jnp.where(
+                alive,
+                T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+                0.0,
+            )
+            # CUDA convention: d(alpha)/d(q) = exp(q) even past the 0.99 clamp
+            dq = dalpha * alpha_un  # (P, G)
 
-        # accumulate parameter gradients on the MXU
-        dquad_chunk = jax.lax.dot_general(
-            dq, basis, (((0,), (0,)), ((), ())), preferred_element_type=F32
-        )  # (G, 8)
-        # zero the log_op lane (index 6): gradient flows via c0 only
-        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
-        dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
-        if localize:
-            dquad_chunk = _deloc_grads(dquad_chunk, quad_g, ox, oy)
-        dcolor_chunk = jax.lax.dot_general(
-            w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
-        )  # (G, 4)
-        dquad_ref[0, sl, :] = dquad_chunk
-        dcolor_ref[0, sl, :] = dcolor_chunk
+            # accumulate parameter gradients on the MXU
+            dquad_chunk = jax.lax.dot_general(
+                dq, basis, (((0,), (0,)), ((), ())), preferred_element_type=F32
+            )  # (G, 8)
+            # zero the log_op lane (index 6): gradient flows via c0 only
+            lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
+            dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
+            if localize:
+                dquad_chunk = _deloc_grads(dquad_chunk, quad_g, ox, oy)
+            dcolor_chunk = jax.lax.dot_general(
+                w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
+            )  # (G, 4)
+            dquad_ref[0, sl, :] = dquad_chunk
+            dcolor_ref[0, sl, :] = dcolor_chunk
 
-        pcarry[:] += jnp.sum(wcg, axis=1, keepdims=True)
-        wlog_eff = jnp.where(alive, wlog, 0.0)
-        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+            pcarry[:] += jnp.sum(wcg, axis=1, keepdims=True)
+            wlog_eff = jnp.where(alive, wlog, 0.0)
+            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+            done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 

@@ -191,12 +191,20 @@ def maybe_adjust_gaussians(
     return state, stats
 
 
-def grow_scene_capacity(state: TrainState, new_capacity: int) -> TrainState:
+def grow_scene_capacity(
+    state: TrainState, new_capacity: int,
+    optimizer: "optax.GradientTransformation" = None,
+) -> TrainState:
     """Host-side capacity reallocation when densification keeps dropping
     requests (n_dropped > 0): pad the scene parameter rows, aux buffers, and
-    Adam moments to ``new_capacity``. Recompiles downstream jits once per
-    growth (growth is O(log) events over training). The reference instead
-    reallocates tensors every densify step (module.py:17-72)."""
+    every param-shaped optimizer slot to ``new_capacity``. Recompiles
+    downstream jits once per growth (growth is O(log) events over training).
+    The reference instead reallocates tensors every densify step
+    (module.py:17-72).
+
+    When ``optimizer`` is given, the opt state is padded structurally via
+    ``optax.tree_map_params`` — robust to any transform chain. Without it,
+    the state must be the default ``(adam_state, lr_state)`` pair."""
     import numpy as _np
 
     from ..core.rotations import matrix_to_rotation_6d
@@ -235,18 +243,34 @@ def grow_scene_capacity(state: TrainState, new_capacity: int) -> TrainState:
         track_cnt=pad_rows(aux.track_cnt),
     )
 
-    adam_state, lr_state = state.opt_state
+    if optimizer is not None:
+        import optax as _optax
 
-    def pad_moments(tree):
-        return tree.replace(scene=jax.tree.map(pad_rows, tree.scene))
+        # mask tree shaped like the params: True on scene leaves only
+        mask = jax.tree.map(lambda _: False, state.trainables)
+        mask = mask.replace(
+            scene=jax.tree.map(lambda _: True, state.trainables.scene)
+        )
+        new_opt_state = _optax.tree_map_params(
+            optimizer,
+            lambda slot, is_scene: pad_rows(slot) if is_scene else slot,
+            state.opt_state,
+            mask,
+        )
+    else:
+        adam_state, lr_state = state.opt_state
 
-    new_adam = adam_state._replace(
-        mu=pad_moments(adam_state.mu), nu=pad_moments(adam_state.nu)
-    )
+        def pad_moments(tree):
+            return tree.replace(scene=jax.tree.map(pad_rows, tree.scene))
+
+        new_adam = adam_state._replace(
+            mu=pad_moments(adam_state.mu), nu=pad_moments(adam_state.nu)
+        )
+        new_opt_state = (new_adam, lr_state)
     return state._replace(
         trainables=state.trainables.replace(
             scene=pad_params(state.trainables.scene)
         ),
-        opt_state=(new_adam, lr_state),
+        opt_state=new_opt_state,
         scene_aux=new_aux,
     )

@@ -200,3 +200,42 @@ class TestCapacityGrowth:
             s.cfg, is_warmup=True, settings=s.settings,
         )
         assert np.isfinite(float(losses["total"]))
+
+    def test_grow_structural_any_chain(self, setup, bundle):
+        """Structural opt-state padding via optax.tree_map_params survives
+        an EXTENDED transform chain (round-1 verdict: the tuple-unpacking
+        path broke the moment any transform was added), and densification
+        still works after growth."""
+        import optax
+
+        from exavatar_release_tpu.train.loop import (
+            grow_scene_capacity, maybe_adjust_gaussians,
+        )
+
+        s = setup
+        base = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=1000)
+        opt = optax.chain(optax.zero_nans(), base)  # extra state element
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+        state2 = grow_scene_capacity(state, 512, optimizer=opt)
+        assert state2.trainables.scene.mean.shape == (512, 3)
+        # every param-shaped slot padded; non-param state untouched
+        shapes = {
+            l.shape for l in jax.tree.leaves(state2.opt_state)
+            if hasattr(l, "shape") and l.ndim >= 1 and l.shape[:1] == (512,)
+        }
+        assert shapes, "no scene-shaped slots were padded"
+
+        # growth -> train -> densify round-trip at the new capacity
+        state3, losses = train_step(
+            state2, bundle, s.frame_data[0], jax.random.PRNGKey(0), opt,
+            s.cfg, is_warmup=False, settings=s.settings,
+        )
+        assert np.isfinite(float(losses["total"]))
+        state4, dstats = maybe_adjust_gaussians(
+            state3, jax.random.PRNGKey(1), s.cfg.densify_start_itr
+            + s.cfg.densify_interval, s.cfg,
+        )
+        assert dstats is not None
+        assert int(dstats["n_live"]) > 0
+        for leaf in jax.tree.leaves(state4.trainables):
+            assert np.isfinite(np.asarray(leaf)).all()

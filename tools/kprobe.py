@@ -114,6 +114,30 @@ def main():
         s12(dd, bn.tile_indices)
         print(f"scatter 12ch: {timeit(s12, dd, bn.tile_indices, iters=args.iters):8.2f} ms")
 
+    if want("assembly"):
+        bgc = jnp.zeros(3)
+
+        def assemble(acc_, tf_):
+            rgb_tiles = acc_[..., 0:3] + tf_ * bgc[None, None, :]
+            full = jnp.concatenate(
+                [rgb_tiles, acc_[..., 3:4], 1.0 - tf_], axis=-1)
+            full = full.reshape(ny, nx, th, tw, 5)
+            full = full.transpose(0, 2, 1, 3, 4).reshape(ny * th, nx * tw, 5)
+            return jnp.sum(full[:H, :W] ** 2)
+
+        asm = jax.jit(jax.grad(assemble, argnums=(0, 1)))
+        asm(acc, tf)
+        print(f"assembly fwd+vjp: {timeit(asm, acc, tf, iters=args.iters):8.2f} ms")
+
+    if want("project"):
+        def proj_loss(m, s, q, o, c):
+            pr = PP.project_gaussians(m, s, q, o, c, live, cam, (H, W))
+            return jnp.sum(pr.params) + jnp.sum(pr.color) + jnp.sum(pr.mean2d)
+
+        pj = jax.jit(jax.grad(proj_loss, argnums=(0, 1, 2, 3, 4)))
+        pj(means, scales, quats, opac, rgbs)
+        print(f"project fwd+vjp: {timeit(pj, means, scales, quats, opac, rgbs, iters=args.iters):8.2f} ms")
+
 
 if __name__ == "__main__":
     main()

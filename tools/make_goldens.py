@@ -13,11 +13,19 @@ import os
 import os.path as osp
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+# a sitecustomize may have imported jax with the TPU plugin selected; the
+# config snapshot wins over os.environ (same guard as tests/conftest.py) —
+# goldens MUST be CPU-computed or they bake in TPU matmul precision
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
