@@ -34,7 +34,8 @@ def main():
 
     from ..fitting.config import FittingConfig
     from ..fitting.fit import (
-        fit_step, init_fit_state, make_fit_optimizer, stage_flags,
+        fit_step, init_fit_state, make_fit_optimizer,
+        reinit_opt_on_stage_change, stage_flags,
     )
     from ..fitting.model import FitFrameData, build_fit_statics
     from ..fitting.params import init_fitting_params
@@ -144,8 +145,12 @@ def main():
             batch = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[frames_list[i] for i in rows]
             )
+            prev_stage = None
             for itr in range(cfg.itr_opt_num(epoch)):
                 lr, root_only, allow_shared, warmup, hjo = stage_flags(cfg, epoch, itr)
+                state, prev_stage = reinit_opt_on_stage_change(
+                    state, opt, prev_stage, (root_only, allow_shared)
+                )
                 state, losses = fit_step(
                     state, statics, batch, jnp.asarray(rows), opt,
                     jnp.asarray(lr), jnp.asarray(root_only),

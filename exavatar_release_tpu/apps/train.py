@@ -192,7 +192,7 @@ def main():
                 )
             key, sub = jax.random.split(key)
             state, dstats = maybe_adjust_gaussians(
-                state, sub, cur_itr, cfg, args.fit_pose_to_test
+                state, sub, cur_itr, cfg, args.fit_pose_to_test, optimizer=opt
             )
             gpu_timer.toc()
 
@@ -203,7 +203,12 @@ def main():
                     read_timer.average_time,
                 ),
             ]
+            dropped = losses.pop("raster_dropped", None)
             msg += [f"loss_{n}: {float(v):.4f}" for n, v in losses.items()]
+            if dropped is not None and float(dropped) > 0:
+                # (gaussian, tile) pairs lost to static binning capacities —
+                # a cropped footprint during warmup is a silent-quality bug
+                msg += [f"raster_dropped: {int(dropped)}"]
             if dstats is not None:
                 msg += [f"scene_live: {int(dstats['n_live'])}"]
             logger.info(" ".join(msg))

@@ -177,6 +177,10 @@ class ForwardOutputs(NamedTuple):
     losses: Dict[str, jnp.ndarray]
     scene_radius: jnp.ndarray  # (C,) densify stats of the scene render
     scene_is_vis: jnp.ndarray  # (C,)
+    # (gaussian, tile) pairs lost to static binning capacities, summed over
+    # this frame's renders — the loop logs nonzero values (a silently
+    # cropped footprint during warmup is a quality bug)
+    raster_dropped: object = None
 
 
 def forward_frame(
@@ -290,6 +294,11 @@ def forward_frame(
         return ForwardOutputs(out, {}, scene_render["radius"], scene_render["is_vis"])
 
     # ---- losses ------------------------------------------------------------
+    dropped = sum(
+        r.get("n_dropped", 0) for r in
+        (scene_render, human_render, scene_human_render, human_render_ref,
+         scene_human_render_ref)
+    )
     # all images as (3, H, W)
     img_t = frame.img
     mask_t = frame.mask
@@ -328,7 +337,8 @@ def forward_frame(
 
     if fit_pose_to_test:
         return ForwardOutputs(
-            renders, losses, scene_render["radius"], scene_render["is_vis"]
+            renders, losses, scene_render["radius"], scene_render["is_vis"],
+            raster_dropped=dropped,
         )
 
     losses["rgb_scene"] = (
@@ -408,7 +418,8 @@ def forward_frame(
     )
 
     return ForwardOutputs(
-        renders, losses, scene_render["radius"], scene_render["is_vis"]
+        renders, losses, scene_render["radius"], scene_render["is_vis"],
+        raster_dropped=dropped,
     )
 
 

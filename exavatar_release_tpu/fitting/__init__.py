@@ -16,7 +16,14 @@ from .keypoints import (
 )
 from .params import FittingParams, init_fitting_params
 from .model import fitting_forward, FitFrameData
-from .fit import FitState, fit_step, init_fit_state, make_fit_optimizer, stage_flags
+from .fit import (
+    FitState,
+    fit_step,
+    init_fit_state,
+    make_fit_optimizer,
+    reinit_opt_on_stage_change,
+    stage_flags,
+)
 
 __all__ = [
     "FittingConfig",
@@ -32,5 +39,6 @@ __all__ = [
     "fit_step",
     "init_fit_state",
     "make_fit_optimizer",
+    "reinit_opt_on_stage_change",
     "stage_flags",
 ]

@@ -5,9 +5,11 @@ Reference behavior (fitting/main/fit.py:63-131 + common/base.py:41-63):
 itr < 100) unlocks only root poses + translations; then everything; the
 last epoch freezes shared identity params; LR starts at 1e-1 (1e-2 later
 epochs) and steps down by 10x at fixed itrs. The reference REBUILDS the
-torch Adam at each stage change (losing moments); here the stage is a
-gradient mask and the moments of masked params simply stay untouched —
-same effective trajectory, one compiled step.
+torch Adam at each stage change (fresh moments + bias correction); here the
+stage is a gradient mask over ONE compiled step, and the driver calls
+``reinit_opt_on_stage_change`` at stage boundaries so the moment/count
+restart matches the reference's rebuild exactly (differentially tested
+against torch.optim.Adam in tests/test_fitting.py).
 """
 from __future__ import annotations
 
@@ -37,6 +39,19 @@ def make_fit_optimizer() -> optax.GradientTransformation:
 
 def init_fit_state(params: FittingParams, optimizer) -> FitState:
     return FitState(params=params, opt_state=optimizer.init(params))
+
+
+def reinit_opt_on_stage_change(
+    state: FitState, optimizer, prev_stage, stage
+) -> Tuple[FitState, Tuple]:
+    """Fresh Adam moments/step-count when the (root_only, allow_shared)
+    membership changes — the functional equivalent of the reference
+    rebuilding torch.optim.Adam per stage (fitting/common/base.py:41-63).
+    ``stage``/``prev_stage`` are host-side tuples; returns the (possibly
+    reset) state and the new prev_stage."""
+    if prev_stage is not None and stage == prev_stage:
+        return state, stage
+    return state._replace(opt_state=optimizer.init(state.params)), stage
 
 
 def stage_flags(cfg: FittingConfig, epoch: int, itr: int):

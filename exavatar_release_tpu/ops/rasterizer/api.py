@@ -268,4 +268,8 @@ def rasterize(
         "radius": screen.radius,
         "is_vis": screen.radius > 0,
         "tile_counts": binning.tile_counts,
+        # pairs silently lost to static capacities (pair budget + per-tile
+        # cap); the train loop surfaces nonzero values (a cropped Gaussian
+        # footprint during warmup is a silent-quality bug otherwise)
+        "n_dropped": binning.n_dropped_pairs + binning.n_truncated,
     }

@@ -38,6 +38,10 @@ class TileBinning(NamedTuple):
     pair_tile: object = None  # (N*E,) int32 — tile id per sorted pair
     starts: object = None  # (T+1,) int32 — window starts per tile
     pair_valid: object = None  # (N, E) bool
+    # pairs silently lost to static capacities — () int32 scalars; consumers
+    # (the train loop) must surface nonzero values, never swallow them:
+    n_dropped_pairs: object = None  # pair-budget (max_pairs / E-cap) drops
+    n_truncated: object = None  # per-tile max_per_tile truncation drops
 
 
 def tile_grid(img_shape: Tuple[int, int], tile_h: int, tile_w: int) -> Tuple[int, int]:
@@ -202,6 +206,10 @@ def bin_gaussians_sorted(
         pair_tile=tile_sorted,
         starts=starts,
         pair_valid=valid,
+        n_dropped_pairs=jnp.sum(
+            jnp.where(vis, jnp.maximum(span - E, 0), 0)
+        ),
+        n_truncated=jnp.sum(jnp.maximum(counts - max_per_tile, 0)),
     )
 
 
@@ -244,7 +252,11 @@ def bin_gaussians_compact(
     ny, nx = tile_grid(img_shape, tile_h, tile_w)
     num_tiles = ny * nx
     if max_pairs <= 0:
-        max_pairs = 16 * n
+        # pairs per Gaussian shrink with tile area: ~12/N at 8x128 tiles,
+        # ~4/N at 32x128 (1080p, radius<=~20 px after screen-size pruning).
+        # The sort and every per-pair op run on this budget; overflow drops
+        # the DEEPEST pairs and is reported via n_dropped_pairs.
+        max_pairs = n * max(6, 128 // tile_h)
     Pm = max_pairs
 
     sort_key = jnp.where(visible, depth, jnp.inf)
@@ -316,11 +328,14 @@ def bin_gaussians_compact(
     gathered = rank_pad[jnp.clip(idx, 0, Pm)]
     tile_indices = jnp.where(in_tile, gathered, n)
 
+    total_pairs = offsets[-1] + span[-1]
     return TileBinning(
         order=order,
         tile_indices=tile_indices,
         tile_counts=counts,
         num_tiles=(ny, nx),
+        n_dropped_pairs=jnp.maximum(total_pairs - Pm, 0),
+        n_truncated=jnp.sum(jnp.maximum(counts - max_per_tile, 0)),
     )
 
 

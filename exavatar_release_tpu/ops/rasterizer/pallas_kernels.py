@@ -179,7 +179,10 @@ def _forward_kernel(
     def body(ci, _):
         # skip the chunk entirely once every pixel hit CUDA early
         # termination — renderCUDA's `done` break; opaque scenes terminate
-        # after a few dozen Gaussians, so most of a deep tile's chunks skip
+        # after a few dozen Gaussians, so most of a deep tile's chunks skip.
+        # (A manual unroll-by-2 interleaving two chunks' independent matmuls
+        # was measured NEUTRAL on v5e — Mosaic does not overlap the streams
+        # — so the simple form stays.)
         @pl.when(jnp.min(done[:]) < 1.0)
         def _compute():
             sl = pl.ds(ci * chunk, chunk)

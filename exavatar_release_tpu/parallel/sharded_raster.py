@@ -121,7 +121,8 @@ def _render_band(
     full = jnp.concatenate([accum, tfinal], axis=-1)  # rgb|d|tfinal
     full = full.reshape(ny_local, nx, th, tw, 5)
     full = full.transpose(0, 2, 1, 3, 4).reshape(ny_local * th, nx * tw, 5)
-    return full[:, :W]  # (rows_per_dev, W, 5)
+    dropped = binning.n_dropped_pairs + binning.n_truncated
+    return full[:, :W], dropped  # (rows_per_dev, W, 5), () int32
 
 
 def _finalize(full: jnp.ndarray, bg: jnp.ndarray, screen) -> Dict[str, jnp.ndarray]:
@@ -164,12 +165,14 @@ def rasterize_in_context(
     screen = project_gaussians(
         means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
     )
-    band = _render_band(
+    band, dropped = _render_band(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum, axis, rows_per_dev, W, settings,
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
-    return _finalize(full, bg, screen)
+    out = _finalize(full, bg, screen)
+    out["n_dropped"] = jax.lax.psum(dropped, axis)
+    return out
 
 
 def _exchange_to_bands(
@@ -285,24 +288,24 @@ def rasterize_gaussian_sharded(
             payload, screen.mean2d[:, 1], screen.radius, screen.in_frustum,
             axis, D, rows_per_dev, cap,
         )
-        band = _render_band(
+        band, dropped = _render_band(
             recv[:, :8], recv[:, 8:12], recv[:, 3:5],
             jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
             axis, rows_per_dev, W, settings,
         )
         return (
             band, screen.mean2d, screen.radius, screen.in_frustum,
-            overflow[None],
+            overflow[None], dropped[None],
         )
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis),) * 7,
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis),) * 6,
         check_vma=False,
     )
-    full, mean2d, radius, in_frustum, overflow = sharded(
+    full, mean2d, radius, in_frustum, overflow, dropped = sharded(
         means3d, scales, quats, opacities, rgbs, live, mean2d_offset
     )
 
@@ -315,6 +318,7 @@ def rasterize_gaussian_sharded(
     out = _finalize(full[:H], bg, s)
     out["exchange_overflow"] = overflow
     out["exchange_bytes"] = jnp.float32(D * cap * 13 * 4)
+    out["n_dropped"] = jnp.sum(dropped)
     return out
 
 
@@ -349,20 +353,23 @@ def rasterize_sharded(
     )
 
     def shard_fn(params, color, mean2d, radius, depth, visible):
-        return _render_band(
+        band, dropped = _render_band(
             params, color, mean2d, radius, depth, visible,
             axis, rows_per_dev, W, settings,
         )
+        return band, dropped[None]
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
-    full = sharded(
+    full, dropped = sharded(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum,
-    )  # (Hp, W, 5)
-    return _finalize(full[:H], bg, screen)
+    )  # (Hp, W, 5), (D,)
+    out = _finalize(full[:H], bg, screen)
+    out["n_dropped"] = jnp.sum(dropped)
+    return out

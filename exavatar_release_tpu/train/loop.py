@@ -119,6 +119,9 @@ def train_step(
 
     losses = dict(out.losses)
     losses["total"] = tot
+    # diagnostic, not a loss term (total above excludes it): pairs lost to
+    # static binning capacities this step — the CLI logs it every iteration
+    losses["raster_dropped"] = jnp.asarray(out.raster_dropped, jnp.float32)
     return (
         TrainState(
             trainables=trainables,
@@ -130,18 +133,24 @@ def train_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_screen_size_prune"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_screen_size_prune", "optimizer")
+)
 def densify_step(
     state: TrainState,
     key: jax.Array,
     cfg: AvatarConfig,
     use_screen_size_prune: bool,
+    optimizer: optax.GradientTransformation = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Densify/prune + Adam-moment surgery (reference adjust_gaussians,
-    model.py:279-292)."""
+    model.py:279-292). Pass ``optimizer`` for structural slot surgery that
+    survives any transform chain."""
     scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
     res = sc.densify_and_prune(scene_state, key, cfg, use_screen_size_prune)
-    opt_state = zero_scene_moments(state.opt_state, res.reset_mask)
+    opt_state = zero_scene_moments(
+        state.opt_state, res.reset_mask, optimizer, state.trainables
+    )
     stats = {
         "n_cloned": res.n_cloned,
         "n_split": res.n_split,
@@ -159,13 +168,17 @@ def densify_step(
     )
 
 
-@jax.jit
-def opacity_reset_step(state: TrainState) -> TrainState:
+@functools.partial(jax.jit, static_argnames=("optimizer",))
+def opacity_reset_step(
+    state: TrainState, optimizer: optax.GradientTransformation = None
+) -> TrainState:
     scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
     new_scene, _ = sc.reset_opacity(scene_state)
     return state._replace(
         trainables=state.trainables.replace(scene=new_scene.params),
-        opt_state=zero_opacity_moments(state.opt_state),
+        opt_state=zero_opacity_moments(
+            state.opt_state, optimizer, state.trainables
+        ),
     )
 
 
@@ -175,6 +188,7 @@ def maybe_adjust_gaussians(
     cur_itr: int,
     cfg: AvatarConfig,
     fit_pose_to_test: bool = False,
+    optimizer: optax.GradientTransformation = None,
 ) -> Tuple[TrainState, Optional[Dict[str, jnp.ndarray]]]:
     """Host-side cadence control (reference train.py:49-54 +
     model.py:287-292): densify every ``densify_interval`` in
@@ -185,9 +199,9 @@ def maybe_adjust_gaussians(
     stats = None
     if cur_itr > cfg.densify_start_itr and cur_itr % cfg.densify_interval == 0:
         use_screen_prune = cur_itr > cfg.opacity_reset_interval
-        state, stats = densify_step(state, key, cfg, use_screen_prune)
+        state, stats = densify_step(state, key, cfg, use_screen_prune, optimizer)
     if cur_itr > 0 and cur_itr % cfg.opacity_reset_interval == 0:
-        state = opacity_reset_step(state)
+        state = opacity_reset_step(state, optimizer)
     return state, stats
 
 
@@ -251,11 +265,16 @@ def grow_scene_capacity(
         mask = mask.replace(
             scene=jax.tree.map(lambda _: True, state.trainables.scene)
         )
+        def pad_slot(slot, is_scene):
+            # some transforms keep scalar per-param state (e.g. zero_nans'
+            # found_nan flags) — only row-shaped slots get padded
+            if (is_scene and getattr(slot, "ndim", 0) >= 1
+                    and slot.shape[0] == C_old):
+                return pad_rows(slot)
+            return slot
+
         new_opt_state = _optax.tree_map_params(
-            optimizer,
-            lambda slot, is_scene: pad_rows(slot) if is_scene else slot,
-            state.opt_state,
-            mask,
+            optimizer, pad_slot, state.opt_state, mask
         )
     else:
         adam_state, lr_state = state.opt_state

@@ -233,7 +233,7 @@ class TestCapacityGrowth:
         assert np.isfinite(float(losses["total"]))
         state4, dstats = maybe_adjust_gaussians(
             state3, jax.random.PRNGKey(1), s.cfg.densify_start_itr
-            + s.cfg.densify_interval, s.cfg,
+            + s.cfg.densify_interval, s.cfg, optimizer=opt,
         )
         assert dstats is not None
         assert int(dstats["n_live"]) > 0

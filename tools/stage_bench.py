@@ -39,6 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--tile_h", type=int, default=32)
+    ap.add_argument("--tile_w", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--skip_v2", action="store_true")
     args = ap.parse_args()
 
     from exavatar_release_tpu.core.camera import Camera
@@ -48,7 +52,8 @@ def main():
 
     H, W = 1088, 1920
     n = args.n
-    tile_h, tile_w, K, chunk = 8, 128, 1024, 128
+    tile_h, tile_w, K, chunk = args.tile_h, args.tile_w, 1024, args.chunk
+    print(f"tile {tile_h}x{tile_w} chunk {chunk} n {n}")
 
     rng = np.random.default_rng(0)
     z = rng.uniform(2.0, 6.0, (n, 1)).astype(np.float32)
@@ -100,7 +105,7 @@ def main():
     vals64 = jnp.asarray(rng.integers(0, n, (64*n,)).astype(np.int32))
     srt(keys64, vals64)
     print(f"  raw sort {64*n/1e6:.1f}M x2: {timeit(srt, keys64, vals64, iters=args.iters):8.2f} ms")
-    T0 = 2040
+    T0 = bn.tile_indices.shape[0]
     stt = jnp.sort(jnp.asarray(rng.integers(0, Pm, (T0+1,)).astype(np.int32)))
     rp = jnp.asarray(rng.integers(0, n, (Pm+1,)).astype(np.int32))
     def windows(starts, rank_pad):
@@ -133,20 +138,48 @@ def main():
     tq, tc = gp(p.params, p.color, bn.order, bn.tile_indices)
     print(f"gather+pack: {timeit(gp, p.params, p.color, bn.order, bn.tile_indices, iters=args.iters):8.2f} ms")
 
-    # ---- composite fwd ----
+    # ---- composite fwd (v1 in-kernel localize = the product path) ----
     interp = jax.default_backend() != "tpu"
+    sp8 = jnp.zeros((1, 8), jnp.float32).at[0, 5].set(-1e9)
+    tpg = jnp.concatenate([p.params[bn.order], sp8], 0)[bn.tile_indices]
     cf = jax.jit(lambda a, b, c: PK.composite_tiles_fwd(
-        a, b, c, (tile_h, tile_w), chunk, interp))
-    acc, tf = cf(tq, tc, bn.tile_counts)
-    print(f"composite fwd: {timeit(cf, tq, tc, bn.tile_counts, iters=args.iters):8.2f} ms")
+        a, b, c, (tile_h, tile_w), chunk, interp, tile_origins=origins))
+    acc, tf = cf(tpg, tc, bn.tile_counts)
+    print(f"composite fwd: {timeit(cf, tpg, tc, bn.tile_counts, iters=args.iters):8.2f} ms")
 
     # ---- composite bwd ----
     gacc = jnp.ones_like(acc)
     gtf = jnp.ones_like(tf)
     cb = jax.jit(lambda a, b, c, d, e, f, g: PK.composite_tiles_bwd(
-        a, b, c, d, e, f, g, (tile_h, tile_w), chunk, interp))
-    dq, dc = cb(tq, tc, bn.tile_counts, gacc, gtf, acc, tf)
-    print(f"composite bwd: {timeit(cb, tq, tc, bn.tile_counts, gacc, gtf, acc, tf, iters=args.iters):8.2f} ms")
+        a, b, c, d, e, f, g, (tile_h, tile_w), chunk, interp,
+        tile_origins=origins))
+    dq, dc = cb(tpg, tc, bn.tile_counts, gacc, gtf, acc, tf)
+    print(f"composite bwd: {timeit(cb, tpg, tc, bn.tile_counts, gacc, gtf, acc, tf, iters=args.iters):8.2f} ms")
+
+    # ---- full product path: rasterize() fwd / fwd+bwd ----
+    from exavatar_release_tpu.ops.rasterizer.api import (
+        RasterizeSettings, rasterize)
+    st = RasterizeSettings(tile_h=tile_h, tile_w=tile_w, chunk=chunk)
+    bg = jnp.zeros(3)
+
+    def full_fwd(m, s, q, o, c):
+        r = rasterize(m, s, q, o, c, live, cam, (H, W), bg, settings=st)
+        return r["img"], r["depth"], r["mask"]
+
+    ff = jax.jit(full_fwd)
+    jax.block_until_ready(ff(means, scales, quats, opac, rgbs))
+    print(f"FULL rasterize fwd: {timeit(ff, means, scales, quats, opac, rgbs, iters=args.iters):8.2f} ms")
+
+    def full_loss(m, s, q, o, c):
+        i, d, k = full_fwd(m, s, q, o, c)
+        return jnp.sum(i) + jnp.sum(d) + jnp.sum(k)
+
+    fb = jax.jit(jax.grad(full_loss, argnums=(0, 1, 2, 3, 4)))
+    jax.block_until_ready(fb(means, scales, quats, opac, rgbs))
+    print(f"FULL rasterize fwd+bwd: {timeit(fb, means, scales, quats, opac, rgbs, iters=args.iters):8.2f} ms")
+
+    if args.skip_v2:
+        return
 
     # ---- composite v2 (occupancy-aware) ----
     cf2 = jax.jit(lambda a, b, c: PK.composite_tiles_fwd_v2(
