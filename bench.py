@@ -118,12 +118,14 @@ def main():
 
     peak_flops = 4.9e13 if on_tpu else 2e11  # v5e f32 MXU vs CPU
     peak_bw = 8.0e11 if on_tpu else 5e10
-    # roofline pinned to the FIXED reference capacity (K=1024) so
-    # vs_baseline tracks absolute speed across rounds regardless of the
-    # scene-tuned K above
+    # roofline pinned to a FIXED canonical configuration (8x128 tiles,
+    # chunk 128, K=1024 — the round-1 kernel shape) so vs_baseline tracks
+    # absolute speed across rounds: the model's FLOP count scales with the
+    # chunk/tile choice, so evaluating it at the CURRENT settings would let
+    # a wasteful config inflate its own speed-of-light target
     rf = composite_roofline(
-        (H, W), settings.tile_h, settings.tile_w, 1024,
-        settings.chunk, peak_flops=peak_flops, peak_bw=peak_bw,
+        (H, W), 8, 128, 1024, 128,
+        peak_flops=peak_flops, peak_bw=peak_bw,
     )
     sol_time = 3.0 * rf["sol_time"]  # fwd + backward (~2x fwd)
     vs_baseline = sol_time / dt

@@ -43,7 +43,12 @@ class RasterizeSettings:
     tile_h: int = 32
     tile_w: int = 128
     max_per_tile: int = 1024
-    chunk: int = 128
+    # compositing chunk: per-chunk fixed costs (done-skip reduction, loop
+    # turnaround) dominate at 128 while the O(chunk) triangular-prefix cost
+    # dominates at 512 (v5e 1080p/100k: 128->154 ms, 256->141, 512->190
+    # full fwd+bwd) — 256 is the sweet spot. Halved automatically until it
+    # divides max_per_tile.
+    chunk: int = 256
     backend: str = "pallas"  # "pallas" | "ref"
     # kernel generation. 1 (default): one grid step per tile with an
     # internal count-bounded chunk loop. 2: chunked (T, K/chunk) grid with
@@ -80,6 +85,12 @@ class RasterizeSettings:
         if self.interpret is not None:
             return self.interpret
         return jax.default_backend() != "tpu"
+
+    def resolve_chunk(self) -> int:
+        c = min(self.chunk, self.max_per_tile)
+        while self.max_per_tile % c:
+            c //= 2
+        return c
 
 
 # --------------------------------------------------------------------------
@@ -198,6 +209,7 @@ def rasterize(
         tw,
         settings.max_per_tile,
         max_pairs=settings.max_pairs,
+        extent=screen.extent,
     )
 
     # depth-sorted gather with a sentinel row (log_op = -1e9 → zero alpha).
@@ -233,7 +245,7 @@ def rasterize(
             binning.tile_counts,
             None,
             (th, tw),
-            settings.chunk,
+            settings.resolve_chunk(),
             settings.resolve_interpret(),
             settings.kernel_v,
             settings.prefix_bf16,
@@ -247,7 +259,7 @@ def rasterize(
             binning.tile_counts,
             jax.lax.stop_gradient(origins),
             (th, tw),
-            settings.chunk,
+            settings.resolve_chunk(),
             settings.resolve_interpret(),
             settings.kernel_v,
             settings.prefix_bf16,

@@ -113,15 +113,22 @@ def bin_gaussians_scan(
     )
 
 
-def _tile_rect(m2d, rad, tile_h, tile_w, ny, nx):
-    """CUDA getRect: [lo, hi) tile rectangle covered by each Gaussian."""
-    x_lo = jnp.clip(jnp.floor((m2d[:, 0] - rad) / tile_w), 0, nx).astype(jnp.int32)
+def _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, extent=None):
+    """CUDA getRect: [lo, hi) tile rectangle covered by each Gaussian.
+
+    ``extent`` (N, 2), when given, replaces the CUDA bounding circle with
+    the tight per-axis AABB of the alpha >= 1/255 ellipse
+    (preprocess.ScreenGaussians.extent) — pairs outside it would be zeroed
+    by the kernel's alpha cutoff anyway, so this is exact, just cheaper."""
+    rx = rad if extent is None else extent[:, 0]
+    ry = rad if extent is None else extent[:, 1]
+    x_lo = jnp.clip(jnp.floor((m2d[:, 0] - rx) / tile_w), 0, nx).astype(jnp.int32)
     x_hi = jnp.clip(
-        jnp.floor((m2d[:, 0] + rad + tile_w - 1) / tile_w), 0, nx
+        jnp.floor((m2d[:, 0] + rx + tile_w - 1) / tile_w), 0, nx
     ).astype(jnp.int32)
-    y_lo = jnp.clip(jnp.floor((m2d[:, 1] - rad) / tile_h), 0, ny).astype(jnp.int32)
+    y_lo = jnp.clip(jnp.floor((m2d[:, 1] - ry) / tile_h), 0, ny).astype(jnp.int32)
     y_hi = jnp.clip(
-        jnp.floor((m2d[:, 1] + rad + tile_h - 1) / tile_h), 0, ny
+        jnp.floor((m2d[:, 1] + ry + tile_h - 1) / tile_h), 0, ny
     ).astype(jnp.int32)
     return x_lo, x_hi, y_lo, y_hi
 
@@ -142,8 +149,10 @@ def bin_gaussians_sorted(
     tile_w: int = 128,
     max_per_tile: int = 1024,
     max_tiles_per_gaussian: int = 64,
+    extent: jnp.ndarray = None,
 ) -> TileBinning:
-    """Pair-sort binning (see module docstring)."""
+    """Pair-sort binning (see module docstring). ``extent`` (N, 2): tight
+    per-axis AABBs replacing the bounding circle (see _tile_rect)."""
     n = mean2d.shape[0]
     ny, nx = tile_grid(img_shape, tile_h, tile_w)
     num_tiles = ny * nx
@@ -156,7 +165,8 @@ def bin_gaussians_sorted(
     m2d = mean2d[order]
     rad = radius[order]
     vis = visible[order] & (rad > 0)
-    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx)
+    ext = None if extent is None else extent[order]
+    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, ext)
     w = x_hi - x_lo  # rect width in tiles
     span = w * (y_hi - y_lo)
 
@@ -229,6 +239,7 @@ def bin_gaussians_compact(
     tile_w: int = 128,
     max_per_tile: int = 1024,
     max_pairs: int = 0,
+    extent: jnp.ndarray = None,
 ) -> TileBinning:
     """Compact pair-list binning: sort ONLY a (max_pairs,) budget.
 
@@ -265,7 +276,8 @@ def bin_gaussians_compact(
     m2d = mean2d[order]
     rad = radius[order]
     vis = visible[order] & (rad > 0)
-    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx)
+    ext = None if extent is None else extent[order]
+    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, ext)
     w = x_hi - x_lo
     span = jnp.where(vis, w * (y_hi - y_lo), 0)
 

@@ -45,7 +45,10 @@ def composite_tiles_ref(
         def step(carry, gk):
             accum, T, done = carry
             coeff, col = gk
-            q = basis @ coeff[:6]  # (P,)
+            # HIGHEST: default dot precision rounds f32 inputs to bf16,
+            # which destroys the cancelling quadratic (see pallas_kernels)
+            q = jnp.dot(basis, coeff[:6],
+                        precision=jax.lax.Precision.HIGHEST)  # (P,)
             log_op = coeff[6]
             alpha_un = jnp.exp(q)
             valid = (q <= log_op) & (alpha_un >= 1.0 / 255.0)

@@ -41,6 +41,31 @@ _TERM_EPS = 1e-4  # CUDA early-termination threshold on transmittance
 _ALPHA_MIN = 1.0 / 255.0
 _ALPHA_MAX = 0.99
 
+# jax's DEFAULT dot precision rounds f32 inputs to bf16 on the MXU. The
+# quadratic evaluation q = basis @ quad cancels catastrophically (terms up
+# to ~|c3|*px^2 ~ 1e3-1e4 summing to q ~ -10..0): bf16 input rounding
+# corrupts q by O(1) log-density units = O(e) alpha error (caught as a
+# dense-scene parity failure vs the sequential oracle; shallow unit scenes
+# stayed inside tolerances and missed it). Per-site precision:
+#  * q MUST be HIGHEST (cancellation; contraction depth 8 keeps it cheap);
+#  * the triangular prefixes accumulate SAME-SIGN log terms (log1p(-a) <= 0,
+#    w*cg >= 0 per chunk): bf16 input rounding bounds the relative error at
+#    2^-9 of each term with no cancellation — <= ~0.2% on log-transmittance
+#    (measured <= 1e-3 image error on the dense parity scene) at 6x the MXU
+#    rate of HIGHEST, so they stay DEFAULT;
+#  * gradient/image accumulators (acc, dquad, dcolor) keep HIGHEST: their
+#    outputs are small ((P,4)/(G,8)/(G,4)) so multi-pass cost is minor, and
+#    Mosaic only lowers DEFAULT/HIGHEST (Precision.HIGH is rejected).
+_PREC_Q = jax.lax.Precision.HIGHEST
+_PREC_PREFIX = jax.lax.Precision.DEFAULT
+_PREC_GRAD = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b, dims, prec):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=F32, precision=prec
+    )
+
 
 def _compiler_params(interpret: bool):
     """Raise the scoped-VMEM cap: the default 16 MiB rejects P=2048 tiles
@@ -81,6 +106,7 @@ def _pdot(x, m, prefix_dtype):
     return jax.lax.dot_general(
         x.astype(prefix_dtype), m.astype(prefix_dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=F32,
+        precision=_PREC_PREFIX,
     )
 
 
@@ -135,18 +161,34 @@ def _deloc_grads(gc, quad_g, ox, oy):
 def _chunk_alphas(basis, quad, color=None):
     """Shared fwd/bwd chunk math: (alpha, alpha_unclamped_valid, q)."""
     # q[p, k] = basis[p, :] · quad[k, :6]
-    q = jax.lax.dot_general(
-        basis,
-        quad,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=F32,
-    )  # (P, G)
+    q = _dot(basis, quad, ((1,), (1,)), _PREC_Q)  # (P, G)
     log_op = quad[:, 6].reshape(1, -1)
+    return _alphas_from_q(q, log_op)
+
+
+def _alphas_from_q(q, log_op):
     alpha_un = jnp.exp(q)
     valid = (q <= log_op) & (alpha_un >= _ALPHA_MIN)
     alpha = jnp.where(valid, jnp.minimum(alpha_un, _ALPHA_MAX), 0.0)
     alpha_un_valid = jnp.where(valid, alpha_un, 0.0)
     return alpha, alpha_un_valid
+
+
+def _chunk_alphas_direct(pxg, pyg, quad_g):
+    """Direct VPU Mahalanobis evaluation from GLOBAL conic rows.
+
+    q = log_op - 0.5·(A·dx² + 2B·dx·dy + C·dy²), dx = px_global - gx. All
+    terms are O(conic·extent²) ~ O(10) — no cancellation, full f32, and no
+    MXU matmul: replaces the (P,8)@(8,G) quadratic-coefficient product
+    whose expanded c_i·px^i terms reach ~1e4 and demand 6-pass HIGHEST
+    precision (~5 µs/chunk on v5e vs ~12 VPU sweeps ≈ 1.6 µs here)."""
+    qT = quad_g[:, :6].T  # (6, G); Mosaic 2D transpose, once per chunk
+    A, B, C = qT[0:1], qT[1:2], qT[2:3]
+    gx, gy, log_op = qT[3:4], qT[4:5], qT[5:6]
+    dx = pxg - gx  # (P, 1) - (1, G) -> (P, G)
+    dy = pyg - gy
+    q = log_op - 0.5 * (A * (dx * dx) + C * (dy * dy)) - B * (dx * dy)
+    return _alphas_from_q(q, log_op)
 
 
 def _forward_kernel(
@@ -169,6 +211,10 @@ def _forward_kernel(
     P = th * tw
     basis = _pixel_basis(th, tw)
     m_excl, m_incl = _tri_matrices(chunk)
+    if localize:
+        # global pixel coords for the direct Mahalanobis evaluation
+        pxg = basis[:, 1:2] + ox
+        pyg = basis[:, 2:3] + oy
 
     acc[:] = jnp.zeros((P, 4), F32)
     tcarry[:] = jnp.ones((P, 1), F32)
@@ -187,16 +233,15 @@ def _forward_kernel(
         def _compute():
             sl = pl.ds(ci * chunk, chunk)
             quad = quad_ref[0, sl, :]
-            if localize:
-                quad_l = _localize(quad, ox, oy)
-            else:
-                quad_l = quad
             color = color_ref[0, sl, :]
-            alpha, _ = _chunk_alphas(basis, quad_l)
+            if localize:
+                alpha, _ = _chunk_alphas_direct(pxg, pyg, quad)
+            else:
+                alpha, _ = _chunk_alphas(basis, quad)
 
             # raw prefix transmittance within chunk (exclusive), in log space
             wlog = jnp.log1p(-alpha)
-            cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
             T_raw = jnp.exp(cum_excl) * tcarry[:]  # (P, G)
 
             # CUDA sticky early termination: first k with T·(1−α) < eps kills
@@ -210,10 +255,16 @@ def _forward_kernel(
             alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
 
             w = alpha_eff * T_raw
-            acc[:] += jnp.dot(w, color, preferred_element_type=F32)
+            acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
+            # done via a LAST-COLUMN SLICE, not a lane reduction:
+            # stickiness makes dead[:, -1] == max_k dead. tcarry must use
+            # the dead-MASKED wlog sum — tfinal is an output (CUDA reports
+            # T at termination), and a raw-decayed carry drifts <= TERM_EPS
+            # in a tile-grouping-dependent way (broke sharded-vs-unsharded
+            # loss parity at 1e-4).
             wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
             tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-            done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+            done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
@@ -244,6 +295,9 @@ def _backward_kernel(
     P = th * tw
     basis = _pixel_basis(th, tw)
     m_excl, m_incl = _tri_matrices(chunk)
+    if localize:
+        pxg = basis[:, 1:2] + ox
+        pyg = basis[:, 2:3] + oy
 
     tcarry[:] = jnp.ones((P, 1), F32)
     pcarry[:] = jnp.zeros((P, 1), F32)
@@ -263,12 +317,14 @@ def _backward_kernel(
         def _compute():
             sl = pl.ds(ci * chunk, chunk)
             quad_g = quad_ref[0, sl, :]
-            quad = _localize(quad_g, ox, oy) if localize else quad_g
             color = color_ref[0, sl, :]
-            alpha, alpha_un = _chunk_alphas(basis, quad)
+            if localize:
+                alpha, alpha_un = _chunk_alphas_direct(pxg, pyg, quad_g)
+            else:
+                alpha, alpha_un = _chunk_alphas(basis, quad_g)
 
             wlog = jnp.log1p(-alpha)
-            cum_excl = jnp.dot(wlog, m_excl, preferred_element_type=F32)
+            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
             T_raw = jnp.exp(cum_excl) * tcarry[:]
 
             trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
@@ -278,14 +334,14 @@ def _backward_kernel(
             w = alpha_eff * T_raw
 
             # cg[p, k] = color_k · g_acc_p
-            cg = jax.lax.dot_general(
-                g_acc, color, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32,
-            )  # (P, G)
+            # cg[p,g] = g_acc[p,:]·color[g,:] as 4 broadcast mul-adds on
+            # the VPU — the (P,4)@(4,G) matmul's big (P,G) output makes
+            # multi-pass MXU precision disproportionately expensive
+            cT = color.T  # (4, G)
+            cg = (g_acc[:, 0:1] * cT[0:1] + g_acc[:, 1:2] * cT[1:2]
+                  + g_acc[:, 2:3] * cT[2:3] + g_acc[:, 3:4] * cT[3:4])
             wcg = w * cg
-            P_incl = pcarry[:] + jnp.dot(
-                wcg, m_incl, preferred_element_type=F32
-            )
+            P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
             # dL/dα_i = T_i·cg_i − (A_p − P_i)/(1−α_i)
             dalpha = jnp.where(
                 alive,
@@ -296,24 +352,23 @@ def _backward_kernel(
             dq = dalpha * alpha_un  # (P, G)
 
             # accumulate parameter gradients on the MXU
-            dquad_chunk = jax.lax.dot_general(
-                dq, basis, (((0,), (0,)), ((), ())), preferred_element_type=F32
-            )  # (G, 8)
+            dquad_chunk = _dot(dq, basis, ((0,), (0,)), _PREC_GRAD)  # (G, 8)
             # zero the log_op lane (index 6): gradient flows via c0 only
             lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
             dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
             if localize:
                 dquad_chunk = _deloc_grads(dquad_chunk, quad_g, ox, oy)
-            dcolor_chunk = jax.lax.dot_general(
-                w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
-            )  # (G, 4)
+            dcolor_chunk = _dot(w, g_acc, ((0,), (0,)), _PREC_GRAD)  # (G, 4)
             dquad_ref[0, sl, :] = dquad_chunk
             dcolor_ref[0, sl, :] = dcolor_chunk
 
-            pcarry[:] += jnp.sum(wcg, axis=1, keepdims=True)
+            # exact slice carries: P_incl's last column IS pcarry + sum(wcg)
+            # (wcg is already dead-masked); done via stickiness (see fwd).
+            # tcarry keeps the masked lane-sum — see the forward kernel.
+            pcarry[:] = P_incl[:, -1:]
             wlog_eff = jnp.where(alive, wlog, 0.0)
             tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-            done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+            done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
@@ -389,10 +444,11 @@ def _forward_kernel_v2(
         alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
 
         w = alpha_eff * T_raw
-        acc[:] += jnp.dot(w, color, preferred_element_type=F32)
+        acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
+        # done slice + masked tcarry sum — see the v1 forward kernel
         wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
         tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
     @pl.when(ci == NC - 1)
     def _emit():
@@ -450,9 +506,9 @@ def _backward_kernel_v2(
         alpha_eff = jnp.where(alive, alpha, 0.0)
         w = alpha_eff * T_raw
 
-        cg = jax.lax.dot_general(
-            g_acc, color, (((1,), (1,)), ((), ())), preferred_element_type=F32
-        )
+        cT = color.T  # (4, G) — see v1: VPU outer-sum beats multi-pass MXU
+        cg = (g_acc[:, 0:1] * cT[0:1] + g_acc[:, 1:2] * cT[1:2]
+              + g_acc[:, 2:3] * cT[2:3] + g_acc[:, 3:4] * cT[3:4])
         wcg = w * cg
         P_incl = pcarry[:] + _pdot(wcg, m_incl, prefix_dtype)
         dalpha = jnp.where(
@@ -462,21 +518,18 @@ def _backward_kernel_v2(
         )
         dq = dalpha * alpha_un
 
-        dquad_chunk = jax.lax.dot_general(
-            dq, basis, (((0,), (0,)), ((), ())), preferred_element_type=F32
-        )
+        dquad_chunk = _dot(dq, basis, ((0,), (0,)), _PREC_GRAD)
         lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
         dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
-        dcolor_chunk = jax.lax.dot_general(
-            w, g_acc, (((0,), (0,)), ((), ())), preferred_element_type=F32
-        )
+        dcolor_chunk = _dot(w, g_acc, ((0,), (0,)), _PREC_GRAD)
         dquad_ref[0] = dquad_chunk
         dcolor_ref[0] = dcolor_chunk
 
-        pcarry[:] += jnp.sum(wcg, axis=1, keepdims=True)
+        # exact slice carries — see the v1 kernels
+        pcarry[:] = P_incl[:, -1:]
         wlog_eff = jnp.where(alive, wlog, 0.0)
         tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-        done[:] = jnp.minimum(jnp.max(dead, axis=1, keepdims=True), 1.0)
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
 
 def _chunk_idx(ci, cnt, K, chunk):

@@ -39,6 +39,12 @@ class ScreenGaussians(NamedTuple):
     depth: jnp.ndarray  # (N,) view-space z
     radius: jnp.ndarray  # (N,) float screen-space radius (0 for culled)
     in_frustum: jnp.ndarray  # (N,) bool
+    # (N, 2) per-axis half-extent of the alpha >= 1/255 superlevel ellipse
+    # (tight AABB; <= radius on both axes). Binning on this instead of the
+    # CUDA circle drops ONLY pairs whose alpha the kernel would zero anyway
+    # (renderCUDA also skips alpha < 1/255), so the image and gradients are
+    # unchanged while pair counts shrink with anisotropy and low opacity.
+    extent: jnp.ndarray = None
 
 
 def pack_tile_quads(params: jnp.ndarray, origins: jnp.ndarray) -> jnp.ndarray:
@@ -148,11 +154,25 @@ def project_gaussians(
     visible = in_front & det_ok & (live if live is not None else True)
     radius = jnp.where(visible, radius, 0.0)
 
+    # --- tight per-axis extents of the contributing region ------------------
+    # alpha = exp(log_op - 0.5 M^2) >= 1/255  <=>  M^2 <= 2(log_op + ln 255);
+    # the AABB of that ellipse has half-extents sqrt(c_lvl * Sigma_xx/yy)
+    # (Sigma = dilated 2D covariance). +1 px pad absorbs f32 boundary
+    # rounding; clamped by the CUDA circle so it is never looser.
+    log_op = jnp.log(jnp.clip(opacities[:, 0].astype(f32), 1e-12, 1.0))
+    c_lvl = jnp.maximum(2.0 * (log_op + 5.5413), 0.0)  # ln 255 = 5.5413
+    ext_x = jnp.minimum(jnp.sqrt(c_lvl * jnp.maximum(a, 0.0)) + 1.0, radius)
+    ext_y = jnp.minimum(jnp.sqrt(c_lvl * jnp.maximum(c, 0.0)) + 1.0, radius)
+    extent = jnp.where(
+        (visible & (c_lvl > 0.0))[:, None],
+        jnp.stack([ext_x, ext_y], axis=1),
+        0.0,
+    )
+
     # --- conic packing --------------------------------------------------------
     # power(p) = -0.5·A·dx² - B·dx·dy - 0.5·C·dy², d = p - mean2d;
     # per-tile-local quadratic coefficients are derived later by
     # ``pack_tile_quads`` (tile-local coords avoid f32 cancellation).
-    log_op = jnp.log(jnp.clip(opacities[:, 0].astype(f32), 1e-12, 1.0))
     # dead rows: drive alpha to 0 by -inf-ish bias (finite to avoid NaN grads)
     log_op_eff = jnp.where(visible, log_op, -1e9)
     zeros = jnp.zeros_like(log_op)
@@ -171,4 +191,5 @@ def project_gaussians(
         depth=depth,
         radius=radius,
         in_frustum=visible,
+        extent=jax.lax.stop_gradient(extent),
     )

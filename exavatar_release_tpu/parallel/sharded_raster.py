@@ -62,9 +62,12 @@ def _render_band(
     rows_per_dev: int,
     W: int,
     settings: RasterizeSettings,
+    extent: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Render THIS chip's row band; must run inside a shard_map over
     ``axis``. Returns (rows_per_dev, ceil(W), 5) rgb|depth|alpha tiles.
+    ``extent`` (N, 2): tight per-axis AABBs (translation-invariant, so the
+    band viewport shift leaves them valid) — see preprocess.ScreenGaussians.
     """
     th, tw = settings.tile_h, settings.tile_w
     ny_local, nx = tile_grid((rows_per_dev, W), th, tw)
@@ -88,6 +91,7 @@ def _render_band(
         tw,
         settings.max_per_tile,
         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        extent=None if extent is None else jax.lax.stop_gradient(extent),
     )
     params_pad = jnp.concatenate([params[binning.order], sentinel_p], axis=0)
     color_pad = jnp.concatenate([color[binning.order], sentinel_c], axis=0)
@@ -111,7 +115,7 @@ def _render_band(
         accum, tfinal = _composite(
             tile_params, tile_color, binning.tile_counts,
             jax.lax.stop_gradient(origins),
-            (th, tw), settings.chunk, interpret,
+            (th, tw), settings.resolve_chunk(), interpret,
             settings.kernel_v, settings.prefix_bf16,
         )
 
@@ -168,6 +172,7 @@ def rasterize_in_context(
     band, dropped = _render_band(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum, axis, rows_per_dev, W, settings,
+        extent=screen.extent,
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
     out = _finalize(full, bg, screen)
@@ -253,7 +258,7 @@ def rasterize_gaussian_sharded(
     4·ceil(N/D²) (≥ 4x the uniform-scene expectation, 128-aligned). Overflow
     drops the DEEPEST extra pairs per bucket and is reported in the returned
     dict (``exchange_overflow``, per-chip counts) — callers should raise cap
-    if it is ever nonzero. Comm volume: D·cap·13 f32 rows per chip each way
+    if it is ever nonzero. Comm volume: D·cap·15 f32 rows per chip each way
     (``exchange_bytes``).
     """
     H, W = int(img_shape[0]), int(img_shape[1])
@@ -282,16 +287,20 @@ def rasterize_gaussian_sharded(
     def shard_fn(m3, sc, qu, op, rg, lv, m2o):
         screen = project_gaussians(m3, sc, qu, op, rg, lv, cam, (H, W), m2o)
         payload = jnp.concatenate(
-            [screen.params, screen.color, screen.radius[:, None]], axis=1
+            [screen.params, screen.color, screen.radius[:, None],
+             screen.extent], axis=1
         )
+        # band targeting on the tight y half-extent (<= radius): rows beyond
+        # it have alpha < 1/255, so skipping those bands is exact — fewer
+        # duplicate sends for anisotropic / low-opacity Gaussians
         recv, vrecv, overflow = _exchange_to_bands(
-            payload, screen.mean2d[:, 1], screen.radius, screen.in_frustum,
-            axis, D, rows_per_dev, cap,
+            payload, screen.mean2d[:, 1], screen.extent[:, 1],
+            screen.in_frustum, axis, D, rows_per_dev, cap,
         )
         band, dropped = _render_band(
             recv[:, :8], recv[:, 8:12], recv[:, 3:5],
             jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
-            axis, rows_per_dev, W, settings,
+            axis, rows_per_dev, W, settings, extent=recv[:, 13:15],
         )
         return (
             band, screen.mean2d, screen.radius, screen.in_frustum,
@@ -317,7 +326,7 @@ def rasterize_gaussian_sharded(
     s.radius = radius[:n]
     out = _finalize(full[:H], bg, s)
     out["exchange_overflow"] = overflow
-    out["exchange_bytes"] = jnp.float32(D * cap * 13 * 4)
+    out["exchange_bytes"] = jnp.float32(D * cap * 15 * 4)
     out["n_dropped"] = jnp.sum(dropped)
     return out
 
@@ -352,23 +361,23 @@ def rasterize_sharded(
         means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
     )
 
-    def shard_fn(params, color, mean2d, radius, depth, visible):
+    def shard_fn(params, color, mean2d, radius, depth, visible, extent):
         band, dropped = _render_band(
             params, color, mean2d, radius, depth, visible,
-            axis, rows_per_dev, W, settings,
+            axis, rows_per_dev, W, settings, extent=extent,
         )
         return band, dropped[None]
 
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     full, dropped = sharded(
         screen.params, screen.color, screen.mean2d, screen.radius,
-        screen.depth, screen.in_frustum,
+        screen.depth, screen.in_frustum, screen.extent,
     )  # (Hp, W, 5), (D,)
     out = _finalize(full[:H], bg, screen)
     out["n_dropped"] = jnp.sum(dropped)

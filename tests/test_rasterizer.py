@@ -414,3 +414,35 @@ class TestTileGatherVJP:
         # only the 4 nearest (ranks 0-3) + nothing else get gradient
         nz = np.abs(np.asarray(g)).sum(1) > 0
         assert nz[:4].all() and not nz[4:].any()
+
+
+def test_dense_deep_scene_parity(rng):
+    """Regression for the bf16 default-matmul-precision bug: a DENSE scene
+    (hundreds of overlapping Gaussians per tile, large radii) catastrophically
+    cancels in q = basis @ quad when jax's DEFAULT dot precision rounds f32
+    inputs to bf16 (observed 0.60 max image error vs the sequential oracle;
+    the shallow scenes above stayed inside tolerance and missed it). All
+    kernel dots now pin Precision.HIGHEST."""
+    scene = make_scene(rng, n=600, img=(64, 96))
+    st_ref = RasterizeSettings(max_per_tile=640, tile_h=8, backend="ref")
+    st_pal = RasterizeSettings(max_per_tile=640, tile_h=8, backend="pallas")
+
+    def make_loss(st):
+        def loss(means):
+            out = render(scene, st, means3d=means)
+            tot = (jnp.sum(out["img"]) + jnp.sum(out["mask"])
+                   + 0.1 * jnp.sum(out["depth"]))
+            return tot, out
+        return loss
+
+    (_, o_ref), g_ref = jax.value_and_grad(
+        make_loss(st_ref), has_aux=True)(scene["means3d"])
+    (_, o_pal), g_pal = jax.value_and_grad(
+        make_loss(st_pal), has_aux=True)(scene["means3d"])
+    np.testing.assert_allclose(
+        np.asarray(o_pal["img"]), np.asarray(o_ref["img"]), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(o_pal["mask"]), np.asarray(o_ref["mask"]), atol=2e-3)
+    scale = float(np.abs(np.asarray(g_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=3e-3 * scale, rtol=5e-3)

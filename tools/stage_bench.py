@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--tile_h", type=int, default=32)
     ap.add_argument("--tile_w", type=int, default=128)
-    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--skip_v2", action="store_true")
     args = ap.parse_args()
 
