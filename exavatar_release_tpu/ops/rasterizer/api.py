@@ -234,8 +234,12 @@ def rasterize(
     ).astype(jnp.float32)
 
     if settings.backend == "ref":
-        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
-        accum, tfinal = jax_ref.composite_tiles_ref(tile_quad, tile_color, (th, tw))
+        # direct conic evaluation from GLOBAL rows — the same fp expression
+        # the v1 Pallas kernel uses, so oracle-vs-kernel parity is tight
+        accum, tfinal = jax_ref.composite_tiles_ref(
+            tile_params, tile_color, (th, tw),
+            tile_origins=jax.lax.stop_gradient(origins),
+        )
     elif settings.kernel_v == 2:
         # v2 kernels keep the legacy pre-packed contract
         tile_quad = pack_tile_quads(tile_params, origins[:, None, :])

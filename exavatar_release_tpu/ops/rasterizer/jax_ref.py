@@ -26,18 +26,29 @@ import jax.numpy as jnp
 
 
 def composite_tiles_ref(
-    tile_quad: jnp.ndarray,  # (T, K, 8) tile-LOCAL quadratic coefficients
+    tile_quad: jnp.ndarray,  # (T, K, 8) tile-LOCAL coeffs, or GLOBAL rows
     tile_color: jnp.ndarray,  # (T, K, 4)
     tile_shape: Tuple[int, int],  # (tile_h, tile_w) static
+    tile_origins: jnp.ndarray = None,  # (T, 2): rows are GLOBAL conic params
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sequential-scan compositing. Returns (accum (T,P,4), tfinal (T,P,1))."""
+    """Sequential-scan compositing. Returns (accum (T,P,4), tfinal (T,P,1)).
+
+    With ``tile_origins``, rows are global [A, B, C, gx, gy, log_op, _, _]
+    and q is the direct conic form exactly as renderCUDA (and the v1 Pallas
+    kernel's ``_chunk_alphas_direct``) evaluates it — same fp expression
+    order, so oracle-vs-kernel parity is tight rather than
+    path-of-evaluation-limited."""
     th, tw = tile_shape
     P = th * tw
+    direct = tile_origins is not None
 
-    def one_tile(quad, color):
+    def one_tile(quad, color, origin=None):
         i = jnp.arange(P, dtype=jnp.int32)
         px = (i % tw).astype(jnp.float32)
         py = (i // tw).astype(jnp.float32)
+        if direct:
+            pxg = px + origin[0]
+            pyg = py + origin[1]
         basis = jnp.stack(
             [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
         )  # (P, 6)
@@ -45,11 +56,19 @@ def composite_tiles_ref(
         def step(carry, gk):
             accum, T, done = carry
             coeff, col = gk
-            # HIGHEST: default dot precision rounds f32 inputs to bf16,
-            # which destroys the cancelling quadratic (see pallas_kernels)
-            q = jnp.dot(basis, coeff[:6],
-                        precision=jax.lax.Precision.HIGHEST)  # (P,)
-            log_op = coeff[6]
+            if direct:
+                dx = pxg - coeff[3]
+                dy = pyg - coeff[4]
+                log_op = coeff[5]
+                q = log_op - 0.5 * (
+                    coeff[0] * (dx * dx) + coeff[2] * (dy * dy)
+                ) - coeff[1] * (dx * dy)
+            else:
+                # HIGHEST: default dot precision rounds f32 inputs to bf16,
+                # which destroys the cancelling quadratic (see pallas_kernels)
+                q = jnp.dot(basis, coeff[:6],
+                            precision=jax.lax.Precision.HIGHEST)  # (P,)
+                log_op = coeff[6]
             alpha_un = jnp.exp(q)
             valid = (q <= log_op) & (alpha_un >= 1.0 / 255.0)
             alpha = jnp.where(valid, jnp.minimum(alpha_un, 0.99), 0.0)
@@ -70,4 +89,9 @@ def composite_tiles_ref(
         (accum, T, _), _ = jax.lax.scan(step, init, (quad, color))
         return accum, T
 
+    if direct:
+        return jax.lax.map(
+            lambda args: one_tile(*args),
+            (tile_quad, tile_color, tile_origins.astype(jnp.float32)),
+        )
     return jax.lax.map(lambda args: one_tile(*args), (tile_quad, tile_color))

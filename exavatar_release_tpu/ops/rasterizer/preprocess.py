@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from ...core.camera import Camera, get_fov
-from ...core.geometry import covariance_from_scale_quat
 
 
 class ScreenGaussians(NamedTuple):
@@ -96,9 +95,19 @@ def project_gaussians(
     f32 = jnp.float32
     means3d = means3d.astype(f32)
 
+    # Structure-of-arrays throughout: every intermediate is a flat (N,)
+    # vector. (N,3)/(N,3,3) tensors put the size-3 axes on the TPU's
+    # 128-wide lane dim (<3% VPU utilization) and the batched 3x3 matmuls
+    # lower to lane-starved loops — measured ~10 ms/step of the 1080p/100k
+    # projection fwd+vjp on v5e; the SoA form is ~1 ms.
+    R = cam.R.astype(f32)
+    t = cam.t.astype(f32)
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
     # --- view transform -----------------------------------------------------
-    p_view = means3d @ cam.R.T.astype(f32) + cam.t.astype(f32)[None, :]
-    depth = p_view[:, 2]
+    pvx = mx * R[0, 0] + my * R[0, 1] + mz * R[0, 2] + t[0]
+    pvy = mx * R[1, 0] + my * R[1, 1] + mz * R[1, 2] + t[1]
+    depth = mx * R[2, 0] + my * R[2, 1] + mz * R[2, 2] + t[2]
     in_front = depth > 0.2  # CUDA near-cull threshold
 
     fov = get_fov(cam.focal, (H, W))
@@ -110,34 +119,65 @@ def project_gaussians(
 
     # --- NDC / pixel projection --------------------------------------------
     safe_z = jnp.where(in_front, depth, 1.0)
-    ndc_x = p_view[:, 0] / safe_z * (1.0 / tan_fovx)
-    ndc_y = p_view[:, 1] / safe_z * (1.0 / tan_fovy)
+    inv_z = 1.0 / safe_z
+    ndc_x = pvx * inv_z * (1.0 / tan_fovx)
+    ndc_y = pvy * inv_z * (1.0 / tan_fovy)
     px = ((ndc_x + 1.0) * W - 1.0) * 0.5
     py = ((ndc_y + 1.0) * H - 1.0) * 0.5
     mean2d = jnp.stack([px, py], axis=1)
     if mean2d_offset is not None:
         mean2d = mean2d + mean2d_offset.astype(f32)
 
-    # --- EWA: 2D covariance --------------------------------------------------
-    cov3d = covariance_from_scale_quat(scales.astype(f32), quats.astype(f32))
-    tx = jnp.clip(p_view[:, 0] / safe_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * safe_z
-    ty = jnp.clip(p_view[:, 1] / safe_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * safe_z
-    z = safe_z
+    # --- EWA: 2D covariance (SoA; same math as covariance_from_scale_quat
+    # + the einsum sandwich, full f32) ---------------------------------------
+    q = quats.astype(f32)
+    qn = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    s0 = scales[:, 0].astype(f32)
+    s1 = scales[:, 1].astype(f32)
+    s2 = scales[:, 2].astype(f32)
+    # M = R(q) @ diag(s), row-major components
+    m00 = (1 - 2 * (qy * qy + qz * qz)) * s0
+    m01 = (2 * (qx * qy - qw * qz)) * s1
+    m02 = (2 * (qx * qz + qw * qy)) * s2
+    m10 = (2 * (qx * qy + qw * qz)) * s0
+    m11 = (1 - 2 * (qx * qx + qz * qz)) * s1
+    m12 = (2 * (qy * qz - qw * qx)) * s2
+    m20 = (2 * (qx * qz - qw * qy)) * s0
+    m21 = (2 * (qy * qz + qw * qx)) * s1
+    m22 = (1 - 2 * (qx * qx + qy * qy)) * s2
+    # cov3d = M @ M^T, six unique components
+    cxx = m00 * m00 + m01 * m01 + m02 * m02
+    cxy = m00 * m10 + m01 * m11 + m02 * m12
+    cxz = m00 * m20 + m01 * m21 + m02 * m22
+    cyy = m10 * m10 + m11 * m11 + m12 * m12
+    cyz = m10 * m20 + m11 * m21 + m12 * m22
+    czz = m20 * m20 + m21 * m21 + m22 * m22
+
+    tx = jnp.clip(pvx * inv_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * safe_z
+    ty = jnp.clip(pvy * inv_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * safe_z
     # J rows for x' = fx·x/z, y' = fy·y/z (third row dropped)
-    j00 = focal_x / z
-    j02 = -focal_x * tx / (z * z)
-    j11 = focal_y / z
-    j12 = -focal_y * ty / (z * z)
-    # T = J @ R_view  (2x3)
-    R = cam.R.astype(f32)
-    T0 = j00[:, None] * R[0][None, :] + j02[:, None] * R[2][None, :]
-    T1 = j11[:, None] * R[1][None, :] + j12[:, None] * R[2][None, :]
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * (inv_z * inv_z)
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * (inv_z * inv_z)
+    # T = J @ R_view (2x3), component-wise
+    t00 = j00 * R[0, 0] + j02 * R[2, 0]
+    t01 = j00 * R[0, 1] + j02 * R[2, 1]
+    t02 = j00 * R[0, 2] + j02 * R[2, 2]
+    t10 = j11 * R[1, 0] + j12 * R[2, 0]
+    t11 = j11 * R[1, 1] + j12 * R[2, 1]
+    t12 = j11 * R[1, 2] + j12 * R[2, 2]
     # cov2d = T Σ T^T
-    S0 = jnp.einsum("ni,nij->nj", T0, cov3d)
-    S1 = jnp.einsum("ni,nij->nj", T1, cov3d)
-    a = jnp.sum(S0 * T0, axis=1) + 0.3
-    b = jnp.sum(S0 * T1, axis=1)
-    c = jnp.sum(S1 * T1, axis=1) + 0.3
+    s0x = t00 * cxx + t01 * cxy + t02 * cxz
+    s0y = t00 * cxy + t01 * cyy + t02 * cyz
+    s0z = t00 * cxz + t01 * cyz + t02 * czz
+    s1x = t10 * cxx + t11 * cxy + t12 * cxz
+    s1y = t10 * cxy + t11 * cyy + t12 * cyz
+    s1z = t10 * cxz + t11 * cyz + t12 * czz
+    a = s0x * t00 + s0y * t01 + s0z * t02 + 0.3
+    b = s0x * t10 + s0y * t11 + s0z * t12
+    c = s1x * t10 + s1y * t11 + s1z * t12 + 0.3
 
     det = a * c - b * b
     det_ok = det > 0.0

@@ -106,9 +106,9 @@ def _render_band(
     origins = origins + jnp.stack([jnp.zeros_like(row0), row0])[None, :]
 
     if use_ref:
-        tile_quad = pack_tile_quads(tile_params, origins[:, None, :])
         accum, tfinal = jax_ref.composite_tiles_ref(
-            tile_quad, tile_color, (th, tw)
+            tile_params, tile_color, (th, tw),
+            tile_origins=jax.lax.stop_gradient(origins),
         )
     else:
         # GLOBAL rows + per-tile origins: localization happens in-kernel

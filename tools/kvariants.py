@@ -12,6 +12,13 @@ wrong on purpose — only the timing matters):
   bwd/nomm     — BOTH prefix matmuls removed
   bwd/nograd   — dquad/dcolor MXU matmuls removed (writes zeros)
   bwd/fusedgrad— dquad+dcolor emitted from ONE stacked (P,2G)@(P,12) matmul
+  bwd/noT      — grad matmuls as basisT@dq / gaccT@w: contraction stays on
+                 dim 0 of the big (P,G) operands WITHOUT Mosaic transposing
+                 them; only small (C,G) outputs transpose back (EXACT)
+  bwd/nodeloc  — _deloc_grads skipped (isolates its (G,1)-sliced VPU cost)
+  fwd/logsp    — log-space carry/trigger + fused w = exp(qc+cum+tlog) (EXACT
+                 up to fp assoc; parity-checked)
+  bwd/logsp    — same reformulation in the backward (EXACT)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/kvariants.py
 """
@@ -38,9 +45,37 @@ def _log1p(x, stub):
     return x * 0.5 if stub else jnp.log1p(x)
 
 
+def _pixel_basis_T(th, tw):
+    """(8, P) polynomial basis — channel-major twin of PK._pixel_basis."""
+    P = th * tw
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (i % tw).astype(F32)
+    py = (i // tw).astype(F32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate([one, px, py, px * px, px * py, py * py, zero, zero], 0)
+
+
+def _deloc_grads_T(gcT, A, B, C, gxr, gyr):
+    """Channel-major VJP of _localize: (8, G) local-coeff cotangents ->
+    (8, G) global-row cotangents. All slices are (1, G) — full lanes."""
+    g0, g1, g2 = gcT[0:1], gcT[1:2], gcT[2:3]
+    g3, g4, g5 = gcT[3:4], gcT[4:5], gcT[5:6]
+    c1 = A * gxr + B * gyr
+    c2 = B * gxr + C * gyr
+    dA = g1 * gxr - 0.5 * g3 - 0.5 * g0 * (gxr * gxr)
+    dB = g1 * gyr + g2 * gxr - g4 - g0 * (gxr * gyr)
+    dC = g2 * gyr - 0.5 * g5 - 0.5 * g0 * (gyr * gyr)
+    dgx = g1 * A + g2 * B - g0 * c1
+    dgy = g1 * B + g2 * C - g0 * c2
+    dL = g0
+    zero = jnp.zeros_like(dL)
+    return jnp.concatenate([dA, dB, dC, dgx, dgy, dL, zero, zero], 0)
+
+
 def _fwd_kernel(count_ref, quad_ref, color_ref, origin_ref, accum_ref,
                 tfinal_ref, acc, tcarry, done, *, th, tw, K, chunk,
-                noexp=False, nomm=False, noskip=False):
+                noexp=False, nomm=False, noskip=False, logsp=False):
     ox = origin_ref[0, 0, 0]
     oy = origin_ref[0, 0, 1]
     P = th * tw
@@ -50,7 +85,7 @@ def _fwd_kernel(count_ref, quad_ref, color_ref, origin_ref, accum_ref,
     pyg = basis[:, 2:3] + oy
 
     acc[:] = jnp.zeros((P, 4), F32)
-    tcarry[:] = jnp.ones((P, 1), F32)
+    tcarry[:] = jnp.zeros((P, 1), F32) if logsp else jnp.ones((P, 1), F32)
     done[:] = jnp.zeros((P, 1), F32)
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
@@ -77,25 +112,39 @@ def _fwd_kernel(count_ref, quad_ref, color_ref, origin_ref, accum_ref,
                 cum_excl = wlog
             else:
                 cum_excl = PK._dot(wlog, m_excl, ((1,), (0,)), PK._PREC_PREFIX)
-            T_raw = _exp(cum_excl, noexp) * tcarry[:]
-            trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
-            dead = jnp.maximum(trigger, done[:])
-            alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
-            w = alpha_eff * T_raw
+            if logsp:
+                # fused weight exponent: w = alpha_eff·T_raw =
+                # exp(qc + cum_excl + tlog); trigger compares in LOG space
+                targ = cum_excl + tcarry[:]
+                trigger = ((targ + wlog) < -9.210340371976182).astype(F32)
+                dead = jnp.maximum(trigger, done[:])
+                qc = jnp.where(valid, jnp.minimum(q, -0.01005033585350145), -50.0)
+                warg = jnp.where(dead > 0.0, -50.0, qc + targ)
+                w = _exp(warg, noexp)
+            else:
+                T_raw = _exp(cum_excl, noexp) * tcarry[:]
+                trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
+                dead = jnp.maximum(trigger, done[:])
+                alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+                w = alpha_eff * T_raw
             acc[:] += PK._dot(w, color, ((1,), (0,)), PK._PREC_GRAD)
             wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
-            tcarry[:] *= _exp(jnp.sum(wlog_eff, axis=1, keepdims=True), noexp)
+            if logsp:
+                tcarry[:] += jnp.sum(wlog_eff, axis=1, keepdims=True)
+            else:
+                tcarry[:] *= _exp(
+                    jnp.sum(wlog_eff, axis=1, keepdims=True), noexp)
             done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
     accum_ref[0] = acc[:]
-    tfinal_ref[0] = tcarry[:]
+    tfinal_ref[0] = _exp(tcarry[:], False) if logsp else tcarry[:]
 
 
 def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
                 origin_ref, dquad_ref, dcolor_ref, tcarry, pcarry, done, *,
                 th, tw, K, chunk, noexp=False, nomm=False, nograd=False,
-                fusedgrad=False):
+                fusedgrad=False, noT=False, nodeloc=False, logsp=False):
     ox = origin_ref[0, 0, 0]
     oy = origin_ref[0, 0, 1]
     P = th * tw
@@ -104,12 +153,16 @@ def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
     pxg = basis[:, 1:2] + ox
     pyg = basis[:, 2:3] + oy
 
-    tcarry[:] = jnp.ones((P, 1), F32)
+    # logsp: the tcarry scratch holds LOG transmittance (init 0, += sums)
+    tcarry[:] = jnp.zeros((P, 1), F32) if logsp else jnp.ones((P, 1), F32)
     pcarry[:] = jnp.zeros((P, 1), F32)
     done[:] = jnp.zeros((P, 1), F32)
     dquad_ref[0] = jnp.zeros((K, 8), F32)
     dcolor_ref[0] = jnp.zeros((K, 4), F32)
     g_acc = gacc_ref[0]
+    if noT:
+        basisT = _pixel_basis_T(th, tw)
+        g_accT = g_acc.T  # (4, P), once per tile
     A_p = atot_ref[0]
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
@@ -135,8 +188,13 @@ def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
                 cum_excl = wlog
             else:
                 cum_excl = PK._dot(wlog, m_excl, ((1,), (0,)), PK._PREC_PREFIX)
-            T_raw = _exp(cum_excl, noexp) * tcarry[:]
-            trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
+            if logsp:
+                targ = cum_excl + tcarry[:]
+                T_raw = _exp(targ, noexp)
+                trigger = ((targ + wlog) < -9.210340371976182).astype(F32)
+            else:
+                T_raw = _exp(cum_excl, noexp) * tcarry[:]
+                trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
             dead = jnp.maximum(trigger, done[:])
             alive = dead == 0.0
             alpha_eff = jnp.where(alive, alpha, 0.0)
@@ -157,6 +215,23 @@ def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
 
             if nograd:
                 pass
+            elif noT:
+                # (8,P)@(P,G) and (4,P)@(P,G): the big operands are consumed
+                # in standard (K-dim = their dim 0... no) form — contraction
+                # is over dim 1 of basisT/g_accT and dim 0 of dq/w, so NO
+                # physical transpose of the (P, G) arrays is needed.
+                dquadT = PK._dot(basisT, dq, ((1,), (0,)), PK._PREC_GRAD)
+                dquadT = _deloc_grads_T(dquadT, A, B, C, gx - ox, gy - oy)
+                dcolorT = PK._dot(g_accT, w, ((1,), (0,)), PK._PREC_GRAD)
+                dquad_ref[0, sl, :] = dquadT.T  # (G, 8) — small transpose
+                dcolor_ref[0, sl, :] = dcolorT.T  # (G, 4)
+            elif nodeloc:
+                dquad_chunk = PK._dot(dq, basis, ((0,), (0,)), PK._PREC_GRAD)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)
+                dquad_chunk = jnp.where(lane == 6, 0.0, dquad_chunk)
+                dcolor_chunk = PK._dot(w, g_acc, ((0,), (0,)), PK._PREC_GRAD)
+                dquad_ref[0, sl, :] = dquad_chunk
+                dcolor_ref[0, sl, :] = dcolor_chunk
             elif fusedgrad:
                 # ONE stacked matmul: [dq | w] (P, 2G) against [basis | g_acc]
                 # (P, 12) -> (2G, 12); rows [:G, :8] are the dquad moments,
@@ -182,7 +257,11 @@ def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
 
             pcarry[:] = P_incl[:, -1:]
             wlog_eff = jnp.where(alive, wlog, 0.0)
-            tcarry[:] *= _exp(jnp.sum(wlog_eff, axis=1, keepdims=True), noexp)
+            if logsp:
+                tcarry[:] += jnp.sum(wlog_eff, axis=1, keepdims=True)
+            else:
+                tcarry[:] *= _exp(
+                    jnp.sum(wlog_eff, axis=1, keepdims=True), noexp)
             done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
@@ -334,9 +413,14 @@ def main():
     err = float(jnp.abs(acc - ref_acc).max())
     print(f"fwd/base   : {timeit(base_f, counts, tp, tc, origins, iters=args.iters):7.2f} ms  (parity vs product {err:.2e})")
     for name, kw in [("noexp", dict(noexp=True)), ("nomm", dict(nomm=True)),
-                     ("noskip", dict(noskip=True))]:
+                     ("noskip", dict(noskip=True)), ("logsp", dict(logsp=True))]:
         f = build_fwd(T, K, P, th, tw, chunk, **kw)
-        print(f"fwd/{name:7s}: {timeit(f, counts, tp, tc, origins, iters=args.iters):7.2f} ms")
+        extra = ""
+        if name == "logsp":
+            a1, t1 = f(counts, tp, tc, origins)
+            extra = (f"  (acc err {float(jnp.abs(a1 - ref_acc).max()):.2e},"
+                     f" tf err {float(jnp.abs(t1 - ref_tf).max()):.2e})")
+        print(f"fwd/{name:7s}: {timeit(f, counts, tp, tc, origins, iters=args.iters):7.2f} ms{extra}")
 
     gacc = jnp.ones_like(acc)
     gtf = jnp.ones_like(tf)
@@ -350,15 +434,19 @@ def main():
     print(f"bwd/base   : {timeit(base_b, counts, tp, tc, gacc, gtf, atot, origins, iters=args.iters):7.2f} ms  (parity vs product {err:.2e})")
     for name, kw in [("noexp", dict(noexp=True)), ("nomm", dict(nomm=True)),
                      ("nograd", dict(nograd=True)),
-                     ("fusedgrad", dict(fusedgrad=True))]:
+                     ("fusedgrad", dict(fusedgrad=True)),
+                     ("noT", dict(noT=True)),
+                     ("nodeloc", dict(nodeloc=True)),
+                     ("logsp", dict(logsp=True)),
+                     ("noT+logsp", dict(noT=True, logsp=True))]:
         f = build_bwd(T, K, P, th, tw, chunk, **kw)
         dq1, dc1 = f(counts, tp, tc, gacc, gtf, atot, origins)
         extra = ""
-        if name == "fusedgrad":
+        if name in ("fusedgrad", "noT", "logsp", "noT+logsp"):
             e1 = float(jnp.abs(dq1 - dq0).max())
             e2 = float(jnp.abs(dc1 - dc0).max())
             extra = f"  (dquad err {e1:.2e}, dcolor err {e2:.2e})"
-        print(f"bwd/{name:7s}: {timeit(f, counts, tp, tc, gacc, gtf, atot, origins, iters=args.iters):7.2f} ms{extra}")
+        print(f"bwd/{name:9s}: {timeit(f, counts, tp, tc, gacc, gtf, atot, origins, iters=args.iters):7.2f} ms{extra}")
 
 
 if __name__ == "__main__":
