@@ -223,8 +223,15 @@ def rasterize(
     # XLA's scatter-add transpose of this gather is the faster default.
     sentinel = jnp.zeros((1, 12), jnp.float32).at[0, 5].set(-1e9)
     rows = jnp.concatenate([screen.params, screen.color], axis=1)
-    rows_pad = jnp.concatenate([rows[binning.order], sentinel], axis=0)
-    tile_rows = rows_pad[binning.tile_indices]  # (T, K, 12)
+    # compose the depth-sort permutation into the indices (int32) instead of
+    # physically reordering the 12-channel f32 rows: kills one (N, 12)
+    # gather in the forward AND its scatter-add transpose in the backward
+    order_pad = jnp.concatenate(
+        [binning.order, jnp.array([n], jnp.int32)], axis=0
+    )
+    gidx = order_pad[binning.tile_indices]  # (T, K) original-row ids
+    rows_pad = jnp.concatenate([rows, sentinel], axis=0)
+    tile_rows = rows_pad[gidx]  # (T, K, 12)
     tile_params = tile_rows[..., :8]
     tile_color = tile_rows[..., 8:]
 

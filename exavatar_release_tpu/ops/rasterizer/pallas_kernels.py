@@ -133,6 +133,41 @@ def _localize(quad_g, ox, oy):
     )
 
 
+def _pixel_basis_T(th: int, tw: int) -> jnp.ndarray:
+    """(8, P) channel-major twin of _pixel_basis (for basisT @ dq)."""
+    P = th * tw
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (i % tw).astype(F32)
+    py = (i // tw).astype(F32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], 0
+    )
+
+
+def _deloc_grads_T(gcT, qT, ox, oy):
+    """Channel-major VJP of _localize: (8, G) local-coeff cotangents ->
+    (8, G) global-row cotangents [dA,dB,dC,dgx,dgy,dL,0,0]. All slices are
+    (1, G) — full 128-lane rows, unlike the (G, 1) columns of the row-major
+    twin below. qT: (6, G) transposed global rows (A,B,C,gx,gy,log_op)."""
+    g0, g1, g2 = gcT[0:1], gcT[1:2], gcT[2:3]
+    g3, g4, g5 = gcT[3:4], gcT[4:5], gcT[5:6]
+    A, B, C = qT[0:1], qT[1:2], qT[2:3]
+    gxr = qT[3:4] - ox
+    gyr = qT[4:5] - oy
+    c1 = A * gxr + B * gyr
+    c2 = B * gxr + C * gyr
+    dA = g1 * gxr - 0.5 * g3 - 0.5 * g0 * (gxr * gxr)
+    dB = g1 * gyr + g2 * gxr - g4 - g0 * (gxr * gyr)
+    dC = g2 * gyr - 0.5 * g5 - 0.5 * g0 * (gyr * gyr)
+    dgx = g1 * A + g2 * B - g0 * c1
+    dgy = g1 * B + g2 * C - g0 * c2
+    dL = g0
+    zero = jnp.zeros_like(dL)
+    return jnp.concatenate([dA, dB, dC, dgx, dgy, dL, zero, zero], 0)
+
+
 def _deloc_grads(gc, quad_g, ox, oy):
     """VJP of _localize: cotangents w.r.t. local coeffs -> global rows."""
     g0 = gc[:, 0:1]
@@ -175,20 +210,27 @@ def _alphas_from_q(q, log_op):
 
 
 def _chunk_alphas_direct(pxg, pyg, quad_g):
+    alpha, alpha_un, _ = _chunk_alphas_direct_t(pxg, pyg, quad_g)
+    return alpha, alpha_un
+
+
+def _chunk_alphas_direct_t(pxg, pyg, quad_g):
     """Direct VPU Mahalanobis evaluation from GLOBAL conic rows.
 
     q = log_op - 0.5·(A·dx² + 2B·dx·dy + C·dy²), dx = px_global - gx. All
     terms are O(conic·extent²) ~ O(10) — no cancellation, full f32, and no
     MXU matmul: replaces the (P,8)@(8,G) quadratic-coefficient product
     whose expanded c_i·px^i terms reach ~1e4 and demand 6-pass HIGHEST
-    precision (~5 µs/chunk on v5e vs ~12 VPU sweeps ≈ 1.6 µs here)."""
+    precision (~5 µs/chunk on v5e vs ~12 VPU sweeps ≈ 1.6 µs here).
+    Also returns the (6, G) transposed rows for channel-major consumers."""
     qT = quad_g[:, :6].T  # (6, G); Mosaic 2D transpose, once per chunk
     A, B, C = qT[0:1], qT[1:2], qT[2:3]
     gx, gy, log_op = qT[3:4], qT[4:5], qT[5:6]
     dx = pxg - gx  # (P, 1) - (1, G) -> (P, G)
     dy = pyg - gy
     q = log_op - 0.5 * (A * (dx * dx) + C * (dy * dy)) - B * (dx * dy)
-    return _alphas_from_q(q, log_op)
+    alpha, alpha_un = _alphas_from_q(q, log_op)
+    return alpha, alpha_un, qT
 
 
 def _forward_kernel(
@@ -351,7 +393,12 @@ def _backward_kernel(
             # CUDA convention: d(alpha)/d(q) = exp(q) even past the 0.99 clamp
             dq = dalpha * alpha_un  # (P, G)
 
-            # accumulate parameter gradients on the MXU
+            # accumulate parameter gradients on the MXU. NOTE: a channel-
+            # major emission (basisT @ dq / g_accT @ w, avoiding the (P, G)
+            # operand transposes, with small (C, G) output transposes back)
+            # measured +2.5 ms in an isolated probe at chunk=256/K=1024 but
+            # -19 ms in the product step at chunk=128/K=896 — the row-major
+            # form stays (tools/kvariants.py bwd/noT).
             dquad_chunk = _dot(dq, basis, ((0,), (0,)), _PREC_GRAD)  # (G, 8)
             # zero the log_op lane (index 6): gradient flows via c0 only
             lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8), 1)

@@ -93,10 +93,17 @@ def _render_band(
         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
         extent=None if extent is None else jax.lax.stop_gradient(extent),
     )
-    params_pad = jnp.concatenate([params[binning.order], sentinel_p], axis=0)
-    color_pad = jnp.concatenate([color[binning.order], sentinel_c], axis=0)
-    tile_params = params_pad[binning.tile_indices]
-    tile_color = color_pad[binning.tile_indices]
+    # compose the depth-sort permutation into the int32 indices instead of
+    # reordering the f32 rows (see ops/rasterizer/api.py)
+    n_loc = params.shape[0]
+    order_pad = jnp.concatenate(
+        [binning.order, jnp.array([n_loc], jnp.int32)], axis=0
+    )
+    gidx = order_pad[binning.tile_indices]
+    params_pad = jnp.concatenate([params, sentinel_p], axis=0)
+    color_pad = jnp.concatenate([color, sentinel_c], axis=0)
+    tile_params = params_pad[gidx]
+    tile_color = color_pad[gidx]
 
     t_ids = jnp.arange(ny_local * nx, dtype=jnp.int32)
     origins = jnp.stack(

@@ -19,6 +19,12 @@ wrong on purpose — only the timing matters):
   fwd/logsp    — log-space carry/trigger + fused w = exp(qc+cum+tlog) (EXACT
                  up to fp assoc; parity-checked)
   bwd/logsp    — same reformulation in the backward (EXACT)
+  fwd/pipe     — software-pipelined: chunk ci+1's carry-INdependent front
+                 (alpha, wlog, prefix matmul) is computed in the same loop
+                 body as chunk ci's carry-dependent tail, exposing MXU/VPU
+                 ILP to the Mosaic scheduler (EXACT; carries (P,G) values
+                 across iterations in VMEM)
+  bwd/pipe     — same for the backward (front also precomputes cg)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/kvariants.py
 """
@@ -267,8 +273,120 @@ def _bwd_kernel(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref, atot_ref,
     jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
 
+def _fwd_kernel_pipe(count_ref, quad_ref, color_ref, origin_ref, accum_ref,
+                     tfinal_ref, acc, tcarry, done, *, th, tw, K, chunk):
+    """Software-pipelined forward: front(ci+1) is computed in the same loop
+    body as the carry-dependent tail of chunk ci (no done-skip)."""
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    P = th * tw
+    m_excl, _ = PK._tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+
+    acc[:] = jnp.zeros((P, 4), F32)
+    tcarry[:] = jnp.ones((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+    NC = K // chunk
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
+
+    def front(ci):
+        sl = pl.ds(ci * chunk, chunk)
+        quad = quad_ref[0, sl, :]
+        color = color_ref[0, sl, :]
+        alpha, _, _ = PK._chunk_alphas_direct_t(pxg, pyg, quad)
+        wlog = jnp.log1p(-alpha)
+        cum_excl = PK._dot(wlog, m_excl, ((1,), (0,)), PK._PREC_PREFIX)
+        return alpha, wlog, cum_excl, color
+
+    def body(ci, carry):
+        alpha, wlog, cum_excl, color = carry
+        T_raw = jnp.exp(cum_excl) * tcarry[:]
+        trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
+        dead = jnp.maximum(trigger, done[:])
+        alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+        w = alpha_eff * T_raw
+        acc[:] += PK._dot(w, color, ((1,), (0,)), PK._PREC_GRAD)
+        wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
+        return front(jnp.minimum(ci + 1, NC - 1))
+
+    jax.lax.fori_loop(0, n_chunks, body, front(jnp.int32(0)), unroll=False)
+    accum_ref[0] = acc[:]
+    tfinal_ref[0] = tcarry[:]
+
+
+def _bwd_kernel_pipe(count_ref, quad_ref, color_ref, gacc_ref, gtf_ref,
+                     atot_ref, origin_ref, dquad_ref, dcolor_ref, tcarry,
+                     pcarry, done, *, th, tw, K, chunk):
+    """Software-pipelined backward with transposed grad emission (noT)."""
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    P = th * tw
+    m_excl, m_incl = PK._tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+    basisT = _pixel_basis_T(th, tw)
+
+    tcarry[:] = jnp.ones((P, 1), F32)
+    pcarry[:] = jnp.zeros((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+    dquad_ref[0] = jnp.zeros((K, 8), F32)
+    dcolor_ref[0] = jnp.zeros((K, 4), F32)
+    g_acc = gacc_ref[0]
+    g_accT = g_acc.T
+    A_p = atot_ref[0]
+    NC = K // chunk
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
+
+    def front(ci):
+        sl = pl.ds(ci * chunk, chunk)
+        quad_g = quad_ref[0, sl, :]
+        color = color_ref[0, sl, :]
+        alpha, alpha_un, qT = PK._chunk_alphas_direct_t(pxg, pyg, quad_g)
+        wlog = jnp.log1p(-alpha)
+        cum_excl = PK._dot(wlog, m_excl, ((1,), (0,)), PK._PREC_PREFIX)
+        cT = color.T
+        cg = (g_acc[:, 0:1] * cT[0:1] + g_acc[:, 1:2] * cT[1:2]
+              + g_acc[:, 2:3] * cT[2:3] + g_acc[:, 3:4] * cT[3:4])
+        return alpha, alpha_un, wlog, cum_excl, cg, qT
+
+    def body(ci, carry):
+        alpha, alpha_un, wlog, cum_excl, cg, qT = carry
+        sl = pl.ds(ci * chunk, chunk)
+        T_raw = jnp.exp(cum_excl) * tcarry[:]
+        trigger = ((T_raw * (1.0 - alpha)) < 1e-4).astype(F32)
+        dead = jnp.maximum(trigger, done[:])
+        alive = dead == 0.0
+        alpha_eff = jnp.where(alive, alpha, 0.0)
+        w = alpha_eff * T_raw
+        wcg = w * cg
+        P_incl = pcarry[:] + PK._dot(wcg, m_incl, ((1,), (0,)),
+                                     PK._PREC_PREFIX)
+        dalpha = jnp.where(
+            alive, T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff), 0.0)
+        dq = dalpha * alpha_un
+        dquadT = PK._dot(basisT, dq, ((1,), (0,)), PK._PREC_GRAD)
+        dquadT = _deloc_grads_T(dquadT, qT[0:1], qT[1:2], qT[2:3],
+                                qT[3:4] - ox, qT[4:5] - oy)
+        dcolorT = PK._dot(g_accT, w, ((1,), (0,)), PK._PREC_GRAD)
+        dquad_ref[0, sl, :] = dquadT.T
+        dcolor_ref[0, sl, :] = dcolorT.T
+        pcarry[:] = P_incl[:, -1:]
+        wlog_eff = jnp.where(alive, wlog, 0.0)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
+        return front(jnp.minimum(ci + 1, NC - 1))
+
+    jax.lax.fori_loop(0, n_chunks, body, front(jnp.int32(0)), unroll=False)
+
+
 def build_fwd(T, K, P, th, tw, chunk, **kw):
-    kern = functools.partial(_fwd_kernel, th=th, tw=tw, K=K, chunk=chunk, **kw)
+    base = _fwd_kernel_pipe if kw.pop("pipe", False) else _fwd_kernel
+    kern = functools.partial(base, th=th, tw=tw, K=K, chunk=chunk, **kw)
 
     @jax.jit
     def run(counts, tq, tc, origins):
@@ -303,7 +421,8 @@ def build_fwd(T, K, P, th, tw, chunk, **kw):
 
 
 def build_bwd(T, K, P, th, tw, chunk, **kw):
-    kern = functools.partial(_bwd_kernel, th=th, tw=tw, K=K, chunk=chunk, **kw)
+    base = _bwd_kernel_pipe if kw.pop("pipe", False) else _bwd_kernel
+    kern = functools.partial(base, th=th, tw=tw, K=K, chunk=chunk, **kw)
 
     @jax.jit
     def run(counts, tq, tc, gacc, gtf, atot, origins):
@@ -413,10 +532,11 @@ def main():
     err = float(jnp.abs(acc - ref_acc).max())
     print(f"fwd/base   : {timeit(base_f, counts, tp, tc, origins, iters=args.iters):7.2f} ms  (parity vs product {err:.2e})")
     for name, kw in [("noexp", dict(noexp=True)), ("nomm", dict(nomm=True)),
-                     ("noskip", dict(noskip=True)), ("logsp", dict(logsp=True))]:
+                     ("noskip", dict(noskip=True)), ("logsp", dict(logsp=True)),
+                     ("pipe", dict(pipe=True))]:
         f = build_fwd(T, K, P, th, tw, chunk, **kw)
         extra = ""
-        if name == "logsp":
+        if name in ("logsp", "pipe"):
             a1, t1 = f(counts, tp, tc, origins)
             extra = (f"  (acc err {float(jnp.abs(a1 - ref_acc).max()):.2e},"
                      f" tf err {float(jnp.abs(t1 - ref_tf).max()):.2e})")
@@ -438,11 +558,12 @@ def main():
                      ("noT", dict(noT=True)),
                      ("nodeloc", dict(nodeloc=True)),
                      ("logsp", dict(logsp=True)),
-                     ("noT+logsp", dict(noT=True, logsp=True))]:
+                     ("noT+logsp", dict(noT=True, logsp=True)),
+                     ("pipe", dict(pipe=True))]:
         f = build_bwd(T, K, P, th, tw, chunk, **kw)
         dq1, dc1 = f(counts, tp, tc, gacc, gtf, atot, origins)
         extra = ""
-        if name in ("fusedgrad", "noT", "logsp", "noT+logsp"):
+        if name in ("fusedgrad", "noT", "logsp", "noT+logsp", "pipe"):
             e1 = float(jnp.abs(dq1 - dq0).max())
             e2 = float(jnp.abs(dc1 - dc0).max())
             extra = f"  (dquad err {e1:.2e}, dcolor err {e2:.2e})"
