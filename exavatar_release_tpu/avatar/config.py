@@ -47,6 +47,13 @@ class AvatarConfig:
     rgb_loss_weight: float = 0.8
     ssim_loss_weight: float = 0.2
     lpips_weight: float = 0.2
+    # LPIPS runs on a fixed-size window centered on the human bbox (clamped
+    # to the image). The reference crops the dynamic bbox before LPIPS
+    # (model.py:217-257); a dynamic SIZE is impossible under jit, and
+    # full-image LPIPS at 1080p pads the conv's NHWC input (minor dim 3 ->
+    # 128 lanes) into multi-GB temps. Window >= image falls back to full.
+    lpips_crop_h: int = 768
+    lpips_crop_w: int = 512
 
     # fixed-capacity scene buffer (TPU static shapes; the reference grows
     # tensors dynamically instead, module.py:159-251)

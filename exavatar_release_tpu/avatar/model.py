@@ -309,9 +309,27 @@ def forward_frame(
     sh_img = chw(scene_human_render["img"])
     sh_img_ref = chw(scene_human_render_ref["img"])
 
+    # LPIPS window: fixed-size crop centered on the bbox (see AvatarConfig)
+    lch = min(cfg.lpips_crop_h, H)
+    lcw = min(cfg.lpips_crop_w, W)
+    lcy = jnp.clip(
+        (frame.bbox[1] + frame.bbox[3] * 0.5 - lch * 0.5).astype(jnp.int32),
+        0, H - lch,
+    )
+    lcx = jnp.clip(
+        (frame.bbox[0] + frame.bbox[2] * 0.5 - lcw * 0.5).astype(jnp.int32),
+        0, W - lcw,
+    )
+    crop3 = lambda im: jax.lax.dynamic_slice(im, (0, lcy, lcx), (3, lch, lcw))
+    crop2 = lambda m: jax.lax.dynamic_slice(m, (lcy, lcx), (lch, lcw))
+    img_t_lcrop = crop3(img_t)
+    region_lcrop = crop2(region)
+
     losses["rgb_human"] = L.rgb_l1(sh_img, img_t, region) * cfg.rgb_loss_weight
     losses["ssim_human"] = L.ssim_loss(sh_img, img_t, region) * cfg.ssim_loss_weight
-    losses["lpips_human"] = L.lpips_loss(lpips_params, sh_img, img_t, region) * cfg.lpips_weight
+    losses["lpips_human"] = L.lpips_loss(
+        lpips_params, crop3(sh_img), img_t_lcrop, region_lcrop
+    ) * cfg.lpips_weight
 
     def face_composite_loss(base_img, fr):
         is_face = ((fr[:3] != -1.0).astype(jnp.float32) * (fr[3:4] == 1.0)).astype(
@@ -328,7 +346,8 @@ def forward_frame(
     losses["rgb_human_refined"] = L.rgb_l1(sh_img_ref, img_t, region) * cfg.rgb_loss_weight
     losses["ssim_human_refined"] = L.ssim_loss(sh_img_ref, img_t, region) * cfg.ssim_loss_weight
     losses["lpips_human_refined"] = (
-        L.lpips_loss(lpips_params, sh_img_ref, img_t, region) * cfg.lpips_weight
+        L.lpips_loss(lpips_params, crop3(sh_img_ref), img_t_lcrop, region_lcrop)
+        * cfg.lpips_weight
     )
     losses["rgb_face_refined"] = face_composite_loss(sh_img_ref, face_render_ref)
     losses["rgb_human_refined_rand_bg"] = L.rgb_l1(

@@ -144,6 +144,41 @@ def _composite_bwd(tile_shape, chunk, interpret, kernel_v, prefix_bf16, res, cot
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite_cm(win, tile_counts, tile_origins, bg, tile_shape, chunk,
+                  interpret):
+    """Channel-major composite (the default v1 path): win (T, 12, K) ->
+    full (T, 5, P) = [bg-composited rgb, depth, mask]. Every pallas
+    operand/result keeps its minor dim at K or P — see pallas_kernels's CM
+    section for why (T(8,128) layout padding)."""
+    return pallas_kernels.composite_tiles_fwd_cm(
+        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret
+    )
+
+
+def _composite_cm_fwd(win, tile_counts, tile_origins, bg, tile_shape, chunk,
+                      interpret):
+    full = _composite_cm(
+        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret
+    )
+    return full, (win, tile_counts, tile_origins, bg, full)
+
+
+def _composite_cm_bwd(tile_shape, chunk, interpret, res, g_full):
+    win, tile_counts, tile_origins, bg, full = res
+    dwin = pallas_kernels.composite_tiles_bwd_cm(
+        win, tile_counts, tile_origins, bg, full, g_full, tile_shape, chunk,
+        interpret,
+    )
+    # d img_c / d bg_c = tfinal = 1 - mask (per pixel)
+    tfinal = 1.0 - full[:, 4, :]  # (T, P)
+    dbg = jnp.sum(g_full[:, 0:3, :] * tfinal[:, None, :], axis=(0, 2))
+    return dwin, None, None, dbg
+
+
+_composite_cm.defvjp(_composite_cm_fwd, _composite_cm_bwd)
+
+
 # --------------------------------------------------------------------------
 # public entry
 # --------------------------------------------------------------------------
@@ -262,26 +297,34 @@ def rasterize(
             settings.prefix_bf16,
         )
     else:
-        # v1: GLOBAL conic rows straight into the kernel; tile-local packing
-        # happens per chunk in VMEM (see pallas_kernels._localize)
-        accum, tfinal = _composite(
-            tile_params,
-            tile_color,
+        # v1 (default): channel-major boundary. GLOBAL conic rows, in-kernel
+        # tile localization, bg composited in-kernel.
+        win = jnp.swapaxes(tile_rows, 1, 2)  # (T, 12, K)
+        full_t = _composite_cm(
+            win,
             binning.tile_counts,
             jax.lax.stop_gradient(origins),
+            bg,
             (th, tw),
             settings.resolve_chunk(),
             settings.resolve_interpret(),
-            settings.kernel_v,
-            settings.prefix_bf16,
+        )  # (T, 5, P)
+        full = (
+            full_t.reshape(ny, nx, 5, th, tw)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(ny * th, nx * tw, 5)[:H, :W]
         )
+        accum = None
 
-    # background composite + image assembly (T, P, C) -> (H, W, C)
-    rgb_tiles = accum[..., 0:3] + tfinal * bg[None, None, :]
-    full = jnp.concatenate([rgb_tiles, accum[..., 3:4], 1.0 - tfinal], axis=-1)
-    full = full.reshape(ny, nx, th, tw, 5)
-    full = full.transpose(0, 2, 1, 3, 4).reshape(ny * th, nx * tw, 5)
-    full = full[:H, :W]
+    if accum is not None:
+        # ref / v2 backends: background composite + assembly in XLA
+        rgb_tiles = accum[..., 0:3] + tfinal * bg[None, None, :]
+        full = jnp.concatenate(
+            [rgb_tiles, accum[..., 3:4], 1.0 - tfinal], axis=-1
+        )
+        full = full.reshape(ny, nx, th, tw, 5)
+        full = full.transpose(0, 2, 1, 3, 4).reshape(ny * th, nx * tw, 5)
+        full = full[:H, :W]
 
     return {
         "img": full[..., 0:3],

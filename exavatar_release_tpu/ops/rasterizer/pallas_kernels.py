@@ -425,6 +425,302 @@ def _backward_kernel(
 
 
 # --------------------------------------------------------------------------
+# Channel-major (CM) kernels — the product v1 path.
+#
+# XLA's TPU layout for Pallas custom-call operands/results tiles the two
+# minormost dims as T(8,128); a minor dim of 4 or 1 therefore pads to 128
+# lanes. The row-major boundary arrays this replaced were catastrophic:
+# accum (T, P, 4) occupied 1020 MB for 32 MB of data (32x), tfinal
+# (T, P, 1) 128x, the (T, K, 8/4) windows 16/32x — ~3 GB of dead HBM
+# traffic per render and an OOM at train-step scale (5 renders). The CM
+# boundary keeps every minor dim >= K or P:
+#   win   (T, 12, K): rows [A,B,C,gx,gy,log_op,0,0, r,g,b,depth]
+#   full  (T, 5, P):  rows [img_r,img_g,img_b, depth, mask] (bg composited
+#                     IN-KERNEL; mask = 1 - tfinal)
+#   dwin  (T, 12, K): rows [dA,dB,dC,dgx,dgy,dlog_op,0,0, dr,dg,db,dd]
+# Sublane padding (12->16, 5->8) costs <= 1.6x instead of 32-128x.
+# --------------------------------------------------------------------------
+
+
+def _alphas_from_qT(pxg, pyg, qT):
+    """Direct Mahalanobis evaluation from a (6, G) channel-major window.
+
+    Same math as _chunk_alphas_direct_t, minus its per-chunk transpose —
+    the CM window layout already has conic rows on sublanes."""
+    A, B, C = qT[0:1], qT[1:2], qT[2:3]
+    gx, gy, log_op = qT[3:4], qT[4:5], qT[5:6]
+    dx = pxg - gx  # (P, 1) - (1, G) -> (P, G)
+    dy = pyg - gy
+    q = log_op - 0.5 * (A * (dx * dx) + C * (dy * dy)) - B * (dx * dy)
+    return _alphas_from_q(q, log_op)
+
+
+def _forward_kernel_cm(
+    count_ref,  # SMEM (1, 1, 1) int32
+    bg_ref,  # SMEM (1, 1, 3) f32
+    win_ref,  # VMEM (1, 12, K)
+    origin_ref,  # VMEM (1, 1, 2)
+    out_ref,  # VMEM (1, 5, P)
+    acc,  # scratch (P, 4)
+    tcarry,  # scratch (P, 1)
+    done,  # scratch (P, 1)
+    *,
+    th: int,
+    tw: int,
+    K: int,
+    chunk: int,
+):
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    P = th * tw
+    m_excl, _ = _tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+
+    acc[:] = jnp.zeros((P, 4), F32)
+    tcarry[:] = jnp.ones((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
+
+    def body(ci, _):
+        @pl.when(jnp.min(done[:]) < 1.0)
+        def _compute():
+            sl = pl.ds(ci * chunk, chunk)
+            wrow = win_ref[0, :, sl]  # (12, G)
+            alpha, _ = _alphas_from_qT(pxg, pyg, wrow[0:6])
+
+            wlog = jnp.log1p(-alpha)
+            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+            T_raw = jnp.exp(cum_excl) * tcarry[:]
+            # sticky CUDA early termination — see _forward_kernel
+            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+            dead = jnp.maximum(trigger, done[:])
+            alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+
+            w = alpha_eff * T_raw
+            color = wrow[8:12].T  # (G, 4) — small per-chunk transpose
+            acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
+            wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+            done[:] = jnp.minimum(dead[:, -1:], 1.0)
+
+    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+
+    # emit (5, P): rgb composited over bg, depth, mask = 1 - tfinal
+    accT = acc[:].T  # (4, P)
+    tfT = tcarry[:].T  # (1, P)
+    out_ref[0] = jnp.concatenate(
+        [
+            accT[0:1] + bg_ref[0, 0, 0] * tfT,
+            accT[1:2] + bg_ref[0, 0, 1] * tfT,
+            accT[2:3] + bg_ref[0, 0, 2] * tfT,
+            accT[3:4],
+            1.0 - tfT,
+        ],
+        axis=0,
+    )
+
+
+def _backward_kernel_cm(
+    count_ref,  # SMEM (1, 1, 1) int32
+    bg_ref,  # SMEM (1, 1, 3) f32
+    win_ref,  # VMEM (1, 12, K)
+    origin_ref,  # VMEM (1, 1, 2)
+    full_ref,  # VMEM (1, 5, P) forward output (residual)
+    gfull_ref,  # VMEM (1, 5, P) cotangent of full
+    dwin_ref,  # out VMEM (1, 12, K)
+    tcarry,
+    pcarry,
+    done,
+    *,
+    th: int,
+    tw: int,
+    K: int,
+    chunk: int,
+):
+    ox = origin_ref[0, 0, 0]
+    oy = origin_ref[0, 0, 1]
+    P = th * tw
+    m_excl, m_incl = _tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+    basisT = _pixel_basis_T(th, tw)
+
+    tcarry[:] = jnp.ones((P, 1), F32)
+    pcarry[:] = jnp.zeros((P, 1), F32)
+    done[:] = jnp.zeros((P, 1), F32)
+    dwin_ref[0] = jnp.zeros((12, K), F32)
+
+    # reconstruct accum/tfinal cotangents from the fused-output cotangent:
+    # img = accum_rgb + tfinal*bg ; depth = accum_d ; mask = 1 - tfinal
+    gf = gfull_ref[0]  # (5, P)
+    ff = full_ref[0]  # (5, P)
+    bg0 = bg_ref[0, 0, 0]
+    bg1 = bg_ref[0, 0, 1]
+    bg2 = bg_ref[0, 0, 2]
+    tfT = 1.0 - ff[4:5]  # (1, P)
+    g_accT = gf[0:4]  # (4, P): d/d accum == d/d full for rgb+depth rows
+    g_tfT = bg0 * gf[0:1] + bg1 * gf[1:2] + bg2 * gf[2:3] - gf[4:5]
+    acc0 = ff[0:1] - bg0 * tfT
+    acc1 = ff[1:2] - bg1 * tfT
+    acc2 = ff[2:3] - bg2 * tfT
+    # A_p = g_acc·accum + g_tf·tfinal (per pixel)
+    A_pT = (g_accT[0:1] * acc0 + g_accT[1:2] * acc1 + g_accT[2:3] * acc2
+            + g_accT[3:4] * ff[3:4] + g_tfT * tfT)  # (1, P)
+    A_p = A_pT.T  # (P, 1)
+    g_acc = g_accT.T  # (P, 4) — for the cg broadcast sum
+
+    n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
+
+    def body(ci, _):
+        @pl.when(jnp.min(done[:]) < 1.0)
+        def _compute():
+            sl = pl.ds(ci * chunk, chunk)
+            wrow = win_ref[0, :, sl]  # (12, G)
+            qT = wrow[0:6]
+            colorT = wrow[8:12]  # (4, G)
+            alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
+
+            wlog = jnp.log1p(-alpha)
+            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+            T_raw = jnp.exp(cum_excl) * tcarry[:]
+
+            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+            dead = jnp.maximum(trigger, done[:])
+            alive = dead == 0.0
+            alpha_eff = jnp.where(alive, alpha, 0.0)
+            w = alpha_eff * T_raw
+
+            # cg[p, g] = g_acc[p, :]·color[g, :] on the VPU (see v1 kernel)
+            cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
+                  + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
+            wcg = w * cg
+            P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
+            dalpha = jnp.where(
+                alive,
+                T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+                0.0,
+            )
+            dq = dalpha * alpha_un  # (P, G)
+
+            # channel-major grad emission: contraction over P hits dim 0 of
+            # dq/w directly (no big transposes), outputs land in the (12, K)
+            # row layout with NO output transposes
+            dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
+            dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
+            dcolorT = _dot(g_accT, w, ((1,), (0,)), _PREC_GRAD)  # (4, G)
+            dwin_ref[0, :, sl] = jnp.concatenate([dquadT, dcolorT], axis=0)
+
+            pcarry[:] = P_incl[:, -1:]
+            wlog_eff = jnp.where(alive, wlog, 0.0)
+            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+            done[:] = jnp.minimum(dead[:, -1:], 1.0)
+
+    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+)
+def composite_tiles_fwd_cm(
+    win: jnp.ndarray,  # (T, 12, K) channel-major windows
+    tile_counts: jnp.ndarray,  # (T,)
+    tile_origins: jnp.ndarray,  # (T, 2)
+    bg: jnp.ndarray,  # (3,)
+    tile_shape: Tuple[int, int],
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns full (T, 5, P): [img_rgb (bg-composited), depth, mask]."""
+    T, _, K = win.shape
+    th, tw = tile_shape
+    P = th * tw
+    kern = functools.partial(_forward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda t: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12, K), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 5, P), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, 5, P), F32),
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        tile_counts.reshape(T, 1, 1).astype(jnp.int32),
+        bg.reshape(1, 1, 3).astype(F32),
+        win,
+        tile_origins.astype(F32).reshape(T, 1, 2),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+)
+def composite_tiles_bwd_cm(
+    win: jnp.ndarray,  # (T, 12, K)
+    tile_counts: jnp.ndarray,
+    tile_origins: jnp.ndarray,
+    bg: jnp.ndarray,
+    full: jnp.ndarray,  # (T, 5, P) forward output
+    g_full: jnp.ndarray,  # (T, 5, P) cotangent
+    tile_shape: Tuple[int, int],
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns dwin (T, 12, K) in the window row layout."""
+    T, _, K = win.shape
+    th, tw = tile_shape
+    P = th * tw
+    kern = functools.partial(
+        _backward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda t: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12, K), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 5, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 5, P), lambda t: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 12, K), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, 12, K), F32),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        tile_counts.reshape(T, 1, 1).astype(jnp.int32),
+        bg.reshape(1, 1, 3).astype(F32),
+        win,
+        tile_origins.astype(F32).reshape(T, 1, 2),
+        full,
+        g_full,
+    )
+
+
+# --------------------------------------------------------------------------
 # v2: occupancy-aware chunked pipeline
 #
 # v1 DMAs the full (K, 8+4) window per tile even when the tile holds a

@@ -43,14 +43,17 @@ def synthetic_face_mesh(prior):
 
 class AvatarSetup:
     def __init__(self, seed=0, H=48, W=64, n_frames=2, capacity=512,
-                 n_scene=200, lpips_net="alex"):
+                 n_scene=200, lpips_net="alex", rings=8, segs=12,
+                 backend="ref", max_per_tile=512, focal=60.0):
         self.cfg = AvatarConfig(
             triplane_ch=8, triplane_res=16, scene_capacity=capacity
         )
         self.H, self.W = H, W
         rng = np.random.default_rng(seed)
         self.prior = build_prior(
-            synthetic_smplx_assets(rings=8, segs=12, num_shape=6, num_expr=4)
+            synthetic_smplx_assets(
+                rings=rings, segs=segs, num_shape=6, num_expr=4
+            )
         )
         a = self.prior.assets
         self.id_info = SMPLXIDInfo.zeros(a.num_shape, a.num_vertices, a.num_joints)
@@ -94,7 +97,9 @@ class AvatarSetup:
         self.face_texture = jnp.asarray(rng.uniform(0, 1, (3, 16, 16)).astype(np.float32))
         self.face_texture_mask = jnp.ones((1, 16, 16))
         self.init_joint_offset = jnp.zeros((a.num_joints, 3))
-        self.settings = RasterizeSettings(backend="ref", max_per_tile=512)
+        self.settings = RasterizeSettings(
+            backend=backend, max_per_tile=max_per_tile
+        )
 
         self.frame_data = []
         for i in range(n_frames):
@@ -109,7 +114,7 @@ class AvatarSetup:
                     cam=Camera(
                         R=jnp.eye(3),
                         t=jnp.zeros(3),
-                        focal=jnp.asarray([60.0, 60.0]),
+                        focal=jnp.asarray([focal, focal]),
                         princpt=jnp.asarray([W / 2.0, H / 2.0]),
                     ),
                     frame_row=jnp.asarray(i),

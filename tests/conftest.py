@@ -30,3 +30,14 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler segfaults after enough compilations accumulate
+    in one process (reproducible: parallel+train+avatar_model in sequence
+    crash inside backend_compile, each pair passes). Dropping compiled
+    executables between modules keeps the per-process compile population
+    bounded; compiles within a module still share."""
+    yield
+    jax.clear_caches()

@@ -152,6 +152,8 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--warmup_mode", action="store_true",
                     help="time the is_warmup=True step instead")
+    ap.add_argument("--profile_dir", default="",
+                    help="write a jax.profiler trace of 2 steps here")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend())
@@ -179,6 +181,16 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"(loss={float(losses['total']):.4f}, "
           f"dropped={int(losses['raster_dropped'])})")
+
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            for _ in range(2):
+                state, losses = train_step(
+                    state, bundle, frame, key, opt, cfg,
+                    is_warmup=args.warmup_mode, settings=settings,
+                )
+            jax.block_until_ready(losses["total"])
+        print(f"trace written to {args.profile_dir}")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
