@@ -54,6 +54,13 @@ class AvatarConfig:
     # 128 lanes) into multi-GB temps. Window >= image falls back to full.
     lpips_crop_h: int = 768
     lpips_crop_w: int = 512
+    # The face mesh render covers a small screen region; rendering the full
+    # frame makes the z-buffer raster sweep every tile (~1 s/step at 1080p
+    # measured on v5e). A static window centered on the projected face,
+    # embedded back at -1 background via dynamic_update_slice, is exact as
+    # long as the face fits the window. Window >= image falls back to full.
+    face_render_h: int = 512
+    face_render_w: int = 512
 
     # fixed-capacity scene buffer (TPU static shapes; the reference grows
     # tensors dynamically instead, module.py:159-251)

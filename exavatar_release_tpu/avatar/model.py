@@ -244,12 +244,38 @@ def forward_frame(
     uvmap = jnp.concatenate([face_texture, face_texture_mask], axis=0)
     fv = statics.face_vertex_idx
 
+    frh = min(cfg.face_render_h, H)
+    frw = min(cfg.face_render_w, W)
+    if frh < H or frw < W:
+        # window origin from the projected face center (shared by both the
+        # base and refined assets — they differ in rgb only, not geometry)
+        fverts = jax.lax.stop_gradient(human_asset.mean_3d[fv])
+        vc = fverts @ cam.R.T + cam.t[None, :]
+        fz = jnp.maximum(vc[:, 2], 1e-4)
+        fpx = jnp.mean(vc[:, 0] / fz * cam.focal[0] + cam.princpt[0])
+        fpy = jnp.mean(vc[:, 1] / fz * cam.focal[1] + cam.princpt[1])
+        fcy = jnp.clip((fpy - frh * 0.5).astype(jnp.int32), 0, H - frh)
+        fcx = jnp.clip((fpx - frw * 0.5).astype(jnp.int32), 0, W - frw)
+        princpt_w = cam.princpt - jnp.stack(
+            [fcx.astype(jnp.float32), fcy.astype(jnp.float32)]
+        )
+    else:
+        fcy = fcx = None
+        princpt_w = cam.princpt
+
     def face_render_of(asset):
-        return render_textured_mesh(
+        patch = render_textured_mesh(
             uvmap, asset.mean_3d[fv], jnp.asarray(statics.face_faces),
-            cam.R, cam.t, cam.focal, cam.princpt, (H, W),
+            cam.R, cam.t, cam.focal, princpt_w, (frh, frw),
             jnp.asarray(statics.face_face_uv), jnp.asarray(statics.face_vertex_uv),
         )
+        if fcy is None:
+            return patch
+        # embed at the reference's -1 background (sample_uv_texture fills
+        # ALL channels with -1) — exact as long as the face projects inside
+        # the window (see AvatarConfig)
+        base = jnp.full((patch.shape[0], H, W), -1.0, patch.dtype)
+        return jax.lax.dynamic_update_slice(base, patch, (0, fcy, fcx))
 
     face_render = face_render_of(human_asset)
     face_render_ref = face_render_of(human_asset_ref)
@@ -389,27 +415,35 @@ def forward_frame(
     lap_idx = jnp.asarray(statics.lap_idx)
     lap_w = jnp.asarray(statics.lap_w)
     neutral_sg = jax.lax.stop_gradient(hout.mesh_neutral_pose)
+    # all seven laplacian operands ride ONE neighbor gather (losses.
+    # laplacian_multi); identical math to per-operand laplacian_reg calls
+    (l_m1, l_m2, l_n, l_s, l_sr, l_r, l_rr) = L.laplacian_multi(
+        [
+            neutral_sg + hout.mean_offset,
+            neutral_sg + hout.mean_offset + hout.mean_offset_offset,
+            neutral_sg,
+            human_asset.scale,
+            human_asset_ref.scale,
+            human_asset.rgb,
+            human_asset_ref.rgb,
+        ],
+        lap_idx,
+        lap_w,
+    )
+
+    def _lap_wmean(lap, wmap_):
+        return jnp.mean(lap ** 2 * wmap_[:, None])
+
+    lap_mean_w = jnp.asarray(statics.lap_mean_w)
+    lap_scale_w = jnp.asarray(statics.lap_scale_w)
+    lap_rgb_w = jnp.asarray(statics.lap_rgb_w)
     losses["lap_mean"] = (
-        L.laplacian_reg(
-            neutral_sg + hout.mean_offset, neutral_sg, lap_idx, lap_w,
-            jnp.asarray(statics.lap_mean_w),
-        )
-        + L.laplacian_reg(
-            neutral_sg + hout.mean_offset + hout.mean_offset_offset, neutral_sg,
-            lap_idx, lap_w, jnp.asarray(statics.lap_mean_w),
-        )
+        _lap_wmean(l_m1 - l_n, lap_mean_w) + _lap_wmean(l_m2 - l_n, lap_mean_w)
     ) * 100000.0
     losses["lap_scale"] = (
-        L.laplacian_reg(human_asset.scale, None, lap_idx, lap_w, jnp.asarray(statics.lap_scale_w))
-        + L.laplacian_reg(
-            human_asset_ref.scale, None, lap_idx, lap_w, jnp.asarray(statics.lap_scale_w)
-        )
+        _lap_wmean(l_s, lap_scale_w) + _lap_wmean(l_sr, lap_scale_w)
     ) * 100000.0
-    losses["lap_rgb"] = L.laplacian_reg(
-        human_asset.rgb, None, lap_idx, lap_w, jnp.asarray(statics.lap_rgb_w)
-    ) + L.laplacian_reg(
-        human_asset_ref.rgb, None, lap_idx, lap_w, jnp.asarray(statics.lap_rgb_w)
-    )
+    losses["lap_rgb"] = _lap_wmean(l_r, lap_rgb_w) + _lap_wmean(l_rr, lap_rgb_w)
 
     losses["hand_rgb_reg"] = (
         L.hand_rgb_reg(human_asset.rgb, buffers.is_rhand, buffers.is_lhand)

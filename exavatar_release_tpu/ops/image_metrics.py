@@ -19,28 +19,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    """Normalized 2D Gaussian window (reference loss.py:35-43)."""
+def gaussian_window_1d(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Normalized 1D Gaussian window (reference loss.py:35-39)."""
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    g = g / g.sum()
-    w = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w)
+    return jnp.asarray((g / g.sum()).astype(np.float32))
 
 
-def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """img: (C, H, W); window: (k, k) applied per channel, zero padding."""
+def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Normalized 2D Gaussian window (reference loss.py:35-43)."""
+    g = np.asarray(gaussian_window_1d(window_size, sigma))
+    return jnp.asarray(np.outer(g, g).astype(np.float32))
+
+
+def _depthwise_conv(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """img: (C, H, W); g: (k,) 1-D window, zero padding.
+
+    The reference's 2D window is outer(g, g), which is exactly two
+    sequential 1-D depthwise convs (zero padding commutes with separable
+    kernels) — 2k MACs/pixel instead of k², ~180 ms/step at 1080p on v5e
+    as five 11x11 convs per SSIM call."""
     C = img.shape[0]
-    k = window.shape[0]
-    kernel = jnp.broadcast_to(window[None, None], (C, 1, k, k))
-    return jax.lax.conv_general_dilated(
-        img[None],
-        kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
+    k = g.shape[0]
+    kw = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, k))
+    kh = jnp.broadcast_to(g[None, None, :, None], (C, 1, k, 1))
+    x = jax.lax.conv_general_dilated(
+        img[None], kw, window_strides=(1, 1),
+        padding=[(0, 0), (k // 2, k // 2)],
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kh, window_strides=(1, 1),
+        padding=[(k // 2, k // 2), (0, 0)],
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[0]
 
 
 def ssim_map(
@@ -58,7 +73,7 @@ def ssim_map(
         m = mask if mask.ndim == 3 else mask[None]
         img_out = img_out * m
         img_target = img_target * m
-    w = gaussian_window(window_size)
+    w = gaussian_window_1d(window_size)
     mu1 = _depthwise_conv(img_out, w)
     mu2 = _depthwise_conv(img_target, w)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -132,3 +132,27 @@ class TestForward:
         l1 = float(step(s.trainables, s.frame_data[1]))
         assert np.isfinite(l0) and np.isfinite(l1)
         assert l0 != l1  # different frames -> different loss
+
+
+def test_face_window_render_matches_full(setup):
+    """The static face-render window (AvatarConfig.face_render_h/w) must be
+    an EXACT optimization: with a window that covers the projected face,
+    every loss matches the full-frame mesh render bit-for-bit-ish."""
+    import dataclasses
+
+    s = setup
+    out_full = _fwd(s)
+    cfg_win = dataclasses.replace(
+        s.cfg, face_render_h=s.H - 8, face_render_w=s.W - 16
+    )
+    out_win = forward_frame(
+        s.trainables, s.scene_state.aux, s.buffers, s.prior, s.statics,
+        s.id_info, s.lpips, s.face_texture, s.face_texture_mask,
+        s.init_joint_offset, s.frame_data[0], jnp.asarray([0.3, 0.5, 0.7]),
+        cfg_win, is_warmup=True, mode="train", settings=s.settings,
+    )
+    for k in out_full.losses:
+        np.testing.assert_allclose(
+            float(out_win.losses[k]), float(out_full.losses[k]),
+            rtol=1e-5, err_msg=f"loss {k} changed under the face window",
+        )
