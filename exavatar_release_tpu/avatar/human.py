@@ -329,8 +329,15 @@ def human_forward(
     )
     scale_offset = apply_mlp(params.scale_offset_net, geo_off_feat, relu_final=False)
 
-    scale = jnp.exp(scale_raw).repeat(3, axis=1)
-    scale_refined = jnp.exp(scale_raw + scale_offset).repeat(3, axis=1)
+    # exp-overflow guard (deviation from reference module.py:525, which
+    # would overflow to inf identically in torch): a raw log-scale past 10
+    # (= 22 km Gaussians) is already divergent garbage, but inf scales turn
+    # the scale regularizer loss inf -> gradients inf -> params nan in ONE
+    # step; the clamp keeps the regularizer finite so training recovers.
+    scale = jnp.exp(jnp.minimum(scale_raw, 10.0)).repeat(3, axis=1)
+    scale_refined = jnp.exp(
+        jnp.minimum(scale_raw + scale_offset, 10.0)
+    ).repeat(3, axis=1)
 
     mean_combined_offset, mean_offset_offset = get_mean_offset_offset(
         buffers, smplx_param, mean_offset_offset

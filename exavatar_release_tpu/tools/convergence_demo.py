@@ -45,7 +45,10 @@ def constant_head(mlp, value):
 
 def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
          W: int = 64, rings: int = 8, segs: int = 12, backend: str = "ref",
-         max_per_tile: int = 512, capacity: int = 256) -> float:
+         max_per_tile: int = 512, capacity: int = 256,
+         lr_scale: float = 1.0, dump_dir: str = "",
+         freeze_pose: bool = False) -> float:
+    import dataclasses
     import time
 
     from exavatar_release_tpu.avatar.model import forward_frame
@@ -57,6 +60,31 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
 
     s = build_setup(H=H, W=W, rings=rings, segs=segs, backend=backend,
                     max_per_tile=max_per_tile, capacity=capacity)
+    if lr_scale != 1.0:
+        s.cfg = dataclasses.replace(s.cfg, lr=s.cfg.lr * lr_scale)
+    if freeze_pose:
+        # the targets were rendered with the TRUE per-frame SMPL-X params;
+        # training them from that init invites a push-the-body-away local
+        # minimum while appearance is still wrong (seen at >=256p: trans
+        # drifts back, the human shrinks out of the loss region). The
+        # harness checks APPEARANCE learning; pose refinement is exercised
+        # by the fitting pipeline on real signal.
+        s.cfg = dataclasses.replace(s.cfg, smplx_param_lr=0.0)
+
+    # start the LEARNER at a plausible log-scale (0.01 m): random-init
+    # scale heads emit ~1 m Gaussians that span every tile, so the static
+    # per-tile capacity truncates almost all of them — the truncated get
+    # zero gradient and tile membership churns, which is a capacity-
+    # overflow pathology, not the learning dynamics this harness checks
+    sn = s.trainables.human.scale_net
+    nb = len(sn.biases)
+    sn = sn._replace(biases=tuple(
+        jnp.full_like(b, float(np.log(0.01))) if i == nb - 1 else b
+        for i, b in enumerate(sn.biases)
+    ))
+    s.trainables = s.trainables.replace(
+        human=s.trainables.human.replace(scale_net=sn)
+    )
     bundle = ModelBundle(
         buffers=s.buffers, prior=s.prior, statics=s.statics, id_info=s.id_info,
         lpips=s.lpips, face_texture=s.face_texture,
@@ -110,18 +138,48 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         key, sub = jax.random.split(key)
         state, losses = train_step(
             state, bundle, frames[i % len(frames)], sub, opt, s.cfg,
-            is_warmup=(i < 20), settings=s.settings,
+            is_warmup=s.cfg.is_warmup(i), settings=s.settings,
         )
-        if i == 21:  # both variants compiled; start the speed clock
+        if i == s.cfg.warmup_itr + 1:  # both variants compiled; start clock
             jax.block_until_ready(losses["total"])
             t_start = time.perf_counter()
         if i % 50 == 0:
-            print(f"itr {i}: loss {float(losses['total']):.4f}", flush=True)
+            top = sorted(
+                ((k, float(v)) for k, v in losses.items()
+                 if k not in ("total", "raster_dropped")),
+                key=lambda kv: -abs(kv[1]))[:4]
+            top_s = ", ".join(f"{k}={v:.2f}" for k, v in top)
+            print(f"itr {i}: loss {float(losses['total']):.4f}  [{top_s}] "
+                  f"dropped={int(losses.get('raster_dropped', 0))}",
+                  flush=True)
+        if not np.isfinite(float(losses["total"])):
+            bad = {k: float(v) for k, v in losses.items()
+                   if not np.isfinite(float(v))}
+            print(f"itr {i}: NON-FINITE terms: {bad}", flush=True)
+            p_ok = jax.tree_util.tree_all(jax.tree.map(
+                lambda a: jnp.all(jnp.isfinite(a)), state.trainables))
+            print(f"  trainables finite: {bool(p_ok)}", flush=True)
+            break
     jax.block_until_ready(losses["total"])
-    if t_start is not None and steps > 22:
-        dt = (time.perf_counter() - t_start) / (steps - 22)
+    if t_start is not None and steps > s.cfg.warmup_itr + 2:
+        dt = (time.perf_counter() - t_start) / (steps - s.cfg.warmup_itr - 2)
         print(f"speed: {dt*1e3:.1f} ms/itr ({1/dt:.2f} itr/s) at {H}x{W}, "
               f"backend={backend}", flush=True)
+    if dump_dir:
+        import os
+
+        import imageio.v2 as iio
+
+        os.makedirs(dump_dir, exist_ok=True)
+        for j, fd in enumerate(frames):
+            pred = np.asarray(jnp.clip(
+                render(state.trainables, state.scene_aux, fd), 0, 1))
+            tgt_img = np.asarray(fd.img.transpose(1, 2, 0))
+            iio.imwrite(f"{dump_dir}/pred{j}.png",
+                        (pred * 255).astype(np.uint8))
+            iio.imwrite(f"{dump_dir}/target{j}.png",
+                        (np.clip(tgt_img, 0, 1) * 255).astype(np.uint8))
+        print(f"dumped renders to {dump_dir}", flush=True)
     p1 = eval_psnr(state)
     print(f"PSNR after {steps} itrs: {p1:.2f} dB (delta {p1 - p0:+.2f})",
           flush=True)
@@ -143,7 +201,12 @@ if __name__ == "__main__":
     ap.add_argument("--max_per_tile", type=int, default=512)
     ap.add_argument("--capacity", type=int, default=256)
     ap.add_argument("--improvement_db", type=float, default=1.0)
+    ap.add_argument("--lr_scale", type=float, default=1.0)
+    ap.add_argument("--dump_dir", default="")
+    ap.add_argument("--freeze_pose", action="store_true")
     args = ap.parse_args()
     main(args.steps, args.improvement_db, H=args.h, W=args.w,
          rings=args.rings, segs=args.segs, backend=args.backend,
-         max_per_tile=args.max_per_tile, capacity=args.capacity)
+         max_per_tile=args.max_per_tile, capacity=args.capacity,
+         lr_scale=args.lr_scale, dump_dir=args.dump_dir,
+         freeze_pose=args.freeze_pose)
