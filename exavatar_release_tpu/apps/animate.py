@@ -64,7 +64,7 @@ def main():
     from ..train.checkpoint import load_checkpoint
     from ..train.loop import init_train_state
     from ..train.optim import make_optimizer
-    from .common import build_prior_for, subject_bundle, synthetic_face_mesh
+    from .common import build_prior_for, face_mesh_for, subject_bundle
     from .test import save_image
 
     cfg = AvatarConfig(scene_capacity=args.scene_capacity,
@@ -72,7 +72,7 @@ def main():
                        triplane_res=args.triplane_res)
     subject = load_subject(args.subject_root, split="train", repeat=1)
     prior = build_prior_for(args.human_model_path)
-    flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+    flame_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
     trainables, scene_state, bundle, _ = subject_bundle(
         subject, prior, cfg, flame_faces, vertex_uv, face_uv,
         lpips_quiet=True,

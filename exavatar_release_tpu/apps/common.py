@@ -66,6 +66,24 @@ def resolve_lpips(
     return init_lpips_random(jax.random.PRNGKey(1), net)
 
 
+def face_mesh_for(human_model_path: Optional[str], prior):
+    """FLAME face mesh (faces, vertex UV, face UV) for the face render.
+
+    Real FLAME topology + UV atlas when ``human_model_path`` is given
+    (reference avatar/common/utils/flame.py:29-50), the synthetic
+    placeholder otherwise. All five CLIs (train/test/unwrap/evaluate/
+    animate) route through here so none can silently render real assets
+    with a fake UV atlas.
+    """
+    if human_model_path is not None:
+        from ..models.smplx.flame import load_flame_assets
+
+        flame_assets = load_flame_assets(human_model_path)
+        vertex_uv, face_uv = load_flame_uv(human_model_path)
+        return np.asarray(flame_assets.faces), vertex_uv, face_uv
+    return synthetic_face_mesh(prior)
+
+
 def build_fit_statics_for(human_model_path: Optional[str]):
     """Fitting statics from real assets when a path is given, synthetic
     otherwise (shared by apps/fit.py and the smooth check-video step)."""

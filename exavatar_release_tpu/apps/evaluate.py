@@ -38,14 +38,14 @@ def main():
     from ..train.loop import init_train_state
     from ..train.optim import make_optimizer
     from .common import (
-        build_prior_for, frame_to_device, resolve_lpips, subject_bundle,
-        synthetic_face_mesh,
+        build_prior_for, face_mesh_for, frame_to_device, resolve_lpips,
+        subject_bundle,
     )
 
     cfg = AvatarConfig(scene_capacity=args.scene_capacity, triplane_ch=args.triplane_ch, triplane_res=args.triplane_res)
     subject = load_subject(args.subject_root, split="test", repeat=1)
     prior = build_prior_for(args.human_model_path)
-    flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+    flame_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
         subject, prior, cfg, flame_faces, vertex_uv, face_uv,
         lpips_quiet=True,

@@ -42,22 +42,15 @@ def main():
     from ..train.optim import make_optimizer
     from .common import (
         build_prior_for,
+        face_mesh_for,
         frame_to_device,
         subject_bundle,
-        synthetic_face_mesh,
     )
 
     cfg = AvatarConfig(scene_capacity=args.scene_capacity, triplane_ch=args.triplane_ch, triplane_res=args.triplane_res)
     subject = load_subject(args.subject_root, split="test", repeat=1)
     prior = build_prior_for(args.human_model_path)
-    if args.human_model_path is not None:
-        from ..models.smplx.flame import load_flame_assets, load_flame_uv
-
-        fa = load_flame_assets(args.human_model_path)
-        vertex_uv, face_uv = load_flame_uv(args.human_model_path)
-        flame_faces = np.asarray(fa.faces)
-    else:
-        flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+    flame_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
 
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
         subject, prior, cfg, flame_faces, vertex_uv, face_uv,

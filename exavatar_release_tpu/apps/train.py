@@ -46,7 +46,6 @@ def main():
     from ..avatar.config import AvatarConfig
     from ..data.subject import FramePrefetcher, load_frame_arrays, load_subject
     from ..native import native_available
-    from ..models.smplx.flame import load_flame_uv
     from ..ops.rasterizer.api import RasterizeSettings
     from ..train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
     from ..train.loop import init_train_state, maybe_adjust_gaussians, train_step
@@ -76,18 +75,9 @@ def main():
     prior = build_prior_for(args.human_model_path, args.gender)
 
     # FLAME face mesh for the face render
-    if args.human_model_path is not None:
-        import numpy as _np
+    from .common import face_mesh_for
 
-        from ..models.smplx.flame import load_flame_assets
-
-        flame_assets = load_flame_assets(args.human_model_path)
-        vertex_uv, face_uv = load_flame_uv(args.human_model_path)
-        flame_faces = _np.asarray(flame_assets.faces)
-    else:
-        from .common import synthetic_face_mesh
-
-        flame_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+    flame_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
 
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
         subject, prior, cfg, flame_faces, vertex_uv, face_uv, args.lpips_weights

@@ -31,21 +31,16 @@ def main():
     from ..data.subject import load_subject
     from ..fitting.unwrap import build_uv_maps, unwrap_sequence
     from ..models.smplx import SMPLXParams, smplx_forward
-    from .common import build_prior_for, synthetic_face_mesh
+    from .common import build_prior_for
 
     subject = load_subject(args.subject_root, split="train", repeat=1)
     prior = build_prior_for(args.human_model_path)
     a = prior.assets
 
     # UV tables over the face mesh (FLAME UV for real assets)
-    if args.human_model_path is not None:
-        from ..models.smplx.flame import load_flame_assets, load_flame_uv
+    from .common import face_mesh_for
 
-        flame_assets = load_flame_assets(args.human_model_path)
-        vertex_uv, face_uv = load_flame_uv(args.human_model_path)
-        face_faces = np.asarray(flame_assets.faces)
-    else:
-        face_faces, vertex_uv, face_uv = synthetic_face_mesh(prior)
+    face_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
     uv_maps = build_uv_maps(
         jnp.asarray(vertex_uv), jnp.asarray(face_uv),
         (args.uv_size, args.uv_size),
