@@ -118,6 +118,9 @@ def main():
             logger.info(f"resumed from {ck}")
 
     settings = RasterizeSettings(backend=args.raster_backend)
+    from ..train.loop import RasterCapacityGovernor
+
+    governor = RasterCapacityGovernor(settings, log=logger.info)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     tot_timer, gpu_timer, read_timer = Timer(), Timer(), Timer()
@@ -194,11 +197,19 @@ def main():
                 ),
             ]
             dropped = losses.pop("raster_dropped", None)
+            dropped_pairs = losses.pop("raster_dropped_pairs", None)
+            truncated = losses.pop("raster_truncated", None)
             msg += [f"loss_{n}: {float(v):.4f}" for n, v in losses.items()]
             if dropped is not None and float(dropped) > 0:
                 # (gaussian, tile) pairs lost to static binning capacities —
                 # a cropped footprint during warmup is a silent-quality bug
                 msg += [f"raster_dropped: {int(dropped)}"]
+            if dropped_pairs is not None:
+                # auto-grow the overflowing capacity (recompiles once per
+                # growth; zero drops is the steady state)
+                settings = governor.update(
+                    float(dropped_pairs), float(truncated)
+                )
             if dstats is not None:
                 msg += [f"scene_live: {int(dstats['n_live'])}"]
             logger.info(" ".join(msg))

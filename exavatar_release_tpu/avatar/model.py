@@ -179,8 +179,12 @@ class ForwardOutputs(NamedTuple):
     scene_is_vis: jnp.ndarray  # (C,)
     # (gaussian, tile) pairs lost to static binning capacities, summed over
     # this frame's renders — the loop logs nonzero values (a silently
-    # cropped footprint during warmup is a quality bug)
+    # cropped footprint during warmup is a quality + broken-gradient bug)
+    # and the capacity governor grows the matching knob on sustained drops:
+    # dropped_pairs -> pairs_per_gaussian budget; truncated -> max_per_tile
     raster_dropped: object = None
+    raster_dropped_pairs: object = None
+    raster_truncated: object = None
 
 
 def forward_frame(
@@ -320,11 +324,11 @@ def forward_frame(
         return ForwardOutputs(out, {}, scene_render["radius"], scene_render["is_vis"])
 
     # ---- losses ------------------------------------------------------------
-    dropped = sum(
-        r.get("n_dropped", 0) for r in
-        (scene_render, human_render, scene_human_render, human_render_ref,
-         scene_human_render_ref)
-    )
+    all_renders = (scene_render, human_render, scene_human_render,
+                   human_render_ref, scene_human_render_ref)
+    dropped = sum(r.get("n_dropped", 0) for r in all_renders)
+    dropped_pairs = sum(r.get("n_dropped_pairs", 0) for r in all_renders)
+    truncated = sum(r.get("n_truncated", 0) for r in all_renders)
     # all images as (3, H, W)
     img_t = frame.img
     mask_t = frame.mask
@@ -383,7 +387,8 @@ def forward_frame(
     if fit_pose_to_test:
         return ForwardOutputs(
             renders, losses, scene_render["radius"], scene_render["is_vis"],
-            raster_dropped=dropped,
+            raster_dropped=dropped, raster_dropped_pairs=dropped_pairs,
+            raster_truncated=truncated,
         )
 
     losses["rgb_scene"] = (
@@ -472,7 +477,8 @@ def forward_frame(
 
     return ForwardOutputs(
         renders, losses, scene_render["radius"], scene_render["is_vis"],
-        raster_dropped=dropped,
+        raster_dropped=dropped, raster_dropped_pairs=dropped_pairs,
+        raster_truncated=truncated,
     )
 
 

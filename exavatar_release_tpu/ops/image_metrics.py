@@ -38,7 +38,16 @@ def _depthwise_conv(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     The reference's 2D window is outer(g, g), which is exactly two
     sequential 1-D depthwise convs (zero padding commutes with separable
     kernels) — 2k MACs/pixel instead of k², ~180 ms/step at 1080p on v5e
-    as five 11x11 convs per SSIM call."""
+    as five 11x11 convs per SSIM call.
+
+    Precision MUST be HIGHEST: with TPU DEFAULT the conv inputs round to
+    bf16, and SSIM's variance sigma^2 = E[x^2] - mu^2 is a catastrophic
+    cancellation — for near-constant windows the bf16 error (~8e-3) dwarfs
+    the true variance AND the C2=9e-4 stabilizer, so the denominator's sign
+    flips and SSIM leaves [-1, 1] by orders of magnitude (measured on v5e:
+    ssim_map of two smooth [0,1] images spanned [-6061, +13827] — the
+    round-3 512x896 training divergence). f32 convs make the error ~1e-6.
+    """
     C = img.shape[0]
     k = g.shape[0]
     kw = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, k))
@@ -48,12 +57,14 @@ def _depthwise_conv(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         padding=[(0, 0), (k // 2, k // 2)],
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x, kh, window_strides=(1, 1),
         padding=[(k // 2, k // 2), (0, 0)],
         feature_group_count=C,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 

@@ -65,10 +65,15 @@ class RasterizeSettings:
     # radii are <= ~20 px after screen-size pruning so 64 is generous
     max_tiles_per_gaussian: int = 64
     # total (gaussian, tile) pair budget for the compact binning (the
-    # default); <= 0 means 16*N. Overflow drops the DEEPEST Gaussians'
-    # pairs first. The sort runs on this budget instead of N*E — the
-    # difference is ~73 -> ~30 ms at 1080p/100k on v5e.
+    # default); <= 0 means pairs_per_gaussian*N. Overflow drops the DEEPEST
+    # Gaussians' pairs first. The sort runs on this budget instead of N*E —
+    # the difference is ~73 -> ~30 ms at 1080p/100k on v5e.
     max_pairs: int = 0
+    # pair budget per Gaussian when max_pairs <= 0. 16 fits dense scenes of
+    # small footprints; sparse clouds of big Gaussians (e.g. a fresh COLMAP
+    # scene whose KNN scale init spans meters) need more — the train loop's
+    # RasterCapacityGovernor doubles this on sustained n_dropped_pairs > 0.
+    pairs_per_gaussian: int = 16
     # tile-sharding over a device mesh: when set, rasterize() shards the
     # image-row axis over mesh[shard_axis] (Gaussians replicated, gradient
     # psum over ICI — the north-star sequence-parallel analog)
@@ -234,6 +239,10 @@ def rasterize(
         means3d, scales, quats, opacities, rgbs, live, cam, (H, W), mean2d_offset
     )
 
+    max_pairs = (
+        settings.max_pairs if settings.max_pairs > 0
+        else settings.pairs_per_gaussian * n
+    )
     binning = bin_gaussians_compact(
         jax.lax.stop_gradient(screen.mean2d),
         jax.lax.stop_gradient(screen.radius),
@@ -243,7 +252,7 @@ def rasterize(
         th,
         tw,
         settings.max_per_tile,
-        max_pairs=settings.max_pairs,
+        max_pairs=max_pairs,
         extent=screen.extent,
     )
 
@@ -334,8 +343,12 @@ def rasterize(
         "radius": screen.radius,
         "is_vis": screen.radius > 0,
         "tile_counts": binning.tile_counts,
-        # pairs silently lost to static capacities (pair budget + per-tile
-        # cap); the train loop surfaces nonzero values (a cropped Gaussian
-        # footprint during warmup is a silent-quality bug otherwise)
+        # pairs silently lost to static capacities; the train loop surfaces
+        # nonzero values AND auto-grows the matching capacity (a cropped
+        # Gaussian footprint is a silent-quality + broken-gradient bug):
+        #   n_dropped_pairs -> the max_pairs/pairs_per_gaussian budget,
+        #   n_truncated     -> the per-tile max_per_tile cap.
         "n_dropped": binning.n_dropped_pairs + binning.n_truncated,
+        "n_dropped_pairs": binning.n_dropped_pairs,
+        "n_truncated": binning.n_truncated,
     }

@@ -132,8 +132,8 @@ def _render_band(
     full = jnp.concatenate([accum, tfinal], axis=-1)  # rgb|d|tfinal
     full = full.reshape(ny_local, nx, th, tw, 5)
     full = full.transpose(0, 2, 1, 3, 4).reshape(ny_local * th, nx * tw, 5)
-    dropped = binning.n_dropped_pairs + binning.n_truncated
-    return full[:, :W], dropped  # (rows_per_dev, W, 5), () int32
+    dropped = jnp.stack([binning.n_dropped_pairs, binning.n_truncated])
+    return full[:, :W], dropped  # (rows_per_dev, W, 5), (2,) int32 [pairs, trunc]
 
 
 def _finalize(full: jnp.ndarray, bg: jnp.ndarray, screen) -> Dict[str, jnp.ndarray]:
@@ -183,7 +183,10 @@ def rasterize_in_context(
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
     out = _finalize(full, bg, screen)
-    out["n_dropped"] = jax.lax.psum(dropped, axis)
+    dropped = jax.lax.psum(dropped, axis)
+    out["n_dropped"] = dropped[0] + dropped[1]
+    out["n_dropped_pairs"] = dropped[0]
+    out["n_truncated"] = dropped[1]
     return out
 
 
@@ -335,6 +338,8 @@ def rasterize_gaussian_sharded(
     out["exchange_overflow"] = overflow
     out["exchange_bytes"] = jnp.float32(D * cap * 15 * 4)
     out["n_dropped"] = jnp.sum(dropped)
+    out["n_dropped_pairs"] = jnp.sum(dropped[:, 0])
+    out["n_truncated"] = jnp.sum(dropped[:, 1])
     return out
 
 
@@ -385,7 +390,9 @@ def rasterize_sharded(
     full, dropped = sharded(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum, screen.extent,
-    )  # (Hp, W, 5), (D,)
+    )  # (Hp, W, 5), (D, 2)
     out = _finalize(full[:H], bg, screen)
     out["n_dropped"] = jnp.sum(dropped)
+    out["n_dropped_pairs"] = jnp.sum(dropped[:, 0])
+    out["n_truncated"] = jnp.sum(dropped[:, 1])
     return out

@@ -54,7 +54,7 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
     from exavatar_release_tpu.avatar.model import forward_frame
     from exavatar_release_tpu.ops.image_metrics import psnr
     from exavatar_release_tpu.train.loop import (
-        ModelBundle, init_train_state, train_step,
+        ModelBundle, RasterCapacityGovernor, init_train_state, train_step,
     )
     from exavatar_release_tpu.train.optim import make_optimizer
 
@@ -103,13 +103,19 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         mean_offset_offset_net=constant_head(h.mean_offset_offset_net, 0.0),
     ))
 
+    # targets + PSNR eval render with a generous pair budget: the sparse
+    # synthetic scene cloud has meter-scale Gaussians whose footprints
+    # overflow the default 16*N budget at >=512p — a truncated TARGET would
+    # make the fit unreachable regardless of training health
+    eval_settings = dataclasses.replace(s.settings, pairs_per_gaussian=128)
+
     @jax.jit
     def render(tr, aux, frame):
         out = forward_frame(
             tr, aux, s.buffers, s.prior, s.statics, s.id_info, s.lpips,
             s.face_texture, s.face_texture_mask, s.init_joint_offset, frame,
             jnp.ones(3), s.cfg, is_warmup=False, mode="test",
-            settings=s.settings,
+            settings=eval_settings,
         )
         return out.renders["scene_human_img"]
 
@@ -122,6 +128,9 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
     opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=steps * 2)
     state = init_train_state(s.trainables, s.scene_state.aux, opt)
     key = jax.random.PRNGKey(0)
+    governor = RasterCapacityGovernor(
+        s.settings, log=lambda m: print(f"[governor] {m}", flush=True)
+    )
 
     def eval_psnr(state):
         return float(np.mean([
@@ -138,15 +147,20 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         key, sub = jax.random.split(key)
         state, losses = train_step(
             state, bundle, frames[i % len(frames)], sub, opt, s.cfg,
-            is_warmup=s.cfg.is_warmup(i), settings=s.settings,
+            is_warmup=s.cfg.is_warmup(i), settings=governor.settings,
+        )
+        governor.update(
+            float(losses.get("raster_dropped_pairs", 0.0)),
+            float(losses.get("raster_truncated", 0.0)),
         )
         if i == s.cfg.warmup_itr + 1:  # both variants compiled; start clock
             jax.block_until_ready(losses["total"])
             t_start = time.perf_counter()
         if i % 50 == 0:
+            skip = ("total", "raster_dropped", "raster_dropped_pairs",
+                    "raster_truncated")
             top = sorted(
-                ((k, float(v)) for k, v in losses.items()
-                 if k not in ("total", "raster_dropped")),
+                ((k, float(v)) for k, v in losses.items() if k not in skip),
                 key=lambda kv: -abs(kv[1]))[:4]
             top_s = ", ".join(f"{k}={v:.2f}" for k, v in top)
             print(f"itr {i}: loss {float(losses['total']):.4f}  [{top_s}] "

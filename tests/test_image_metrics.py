@@ -69,6 +69,20 @@ class TestSSIM:
         out = ssim_map(jnp.asarray(a), jnp.asarray(a))
         assert float(out.mean()) > 0.999
 
+    def test_bounded_on_smooth_images(self, rng):
+        """SSIM of [0,1] images must stay in [-1, 1]. Near-constant windows
+        make sigma^2 = E[x^2] - mu^2 a catastrophic cancellation; with TPU
+        DEFAULT matmul precision (bf16 conv inputs) the computed variance
+        error flipped the denominator sign and ssim_map spanned
+        [-6061, +13827] on v5e — the round-3 512x896 training divergence.
+        The convs now force Precision.HIGHEST (image_metrics._depthwise_conv);
+        this guards the bound wherever the suite runs."""
+        base = rng.uniform(0.2, 0.8, (3, 1, 1)).astype(np.float32)
+        a = (base + rng.normal(0, 0.002, (3, 128, 160))).astype(np.float32)
+        b = (base + rng.normal(0, 0.002, (3, 128, 160))).astype(np.float32)
+        out = np.asarray(ssim_map(jnp.asarray(a), jnp.asarray(b)))
+        assert out.min() >= -1.001 and out.max() <= 1.001
+
 
 class TestPSNRBBox:
     def test_psnr_known_value(self):
