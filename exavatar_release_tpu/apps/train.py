@@ -25,6 +25,16 @@ def main():
     ap.add_argument("--repeat", type=int, default=100)
     ap.add_argument("--out_dir", default="output")
     ap.add_argument("--lpips_weights", default=None)
+    ap.add_argument(
+        "--allow_random_lpips", action="store_true",
+        help="train with randomly-initialized LPIPS features. The reference "
+             "trains against pretrained VGG-LPIPS at weight 0.2 (reference "
+             "avatar/common/nets/loss.py:80-97); results are NOT comparable "
+             "without real weights, so omitting --lpips_weights is an error "
+             "unless this flag is set. Produce weights once with: python -m "
+             "exavatar_release_tpu.ops.lpips --net vgg --backbone "
+             "vgg16_features.pth --lins lpips_v01_vgg.pth --out lpips_vgg.npz",
+    )
     ap.add_argument("--scene_capacity", type=int, default=1 << 17)
     ap.add_argument("--gender", default="male")
     ap.add_argument("--triplane_ch", type=int, default=32)
@@ -79,6 +89,14 @@ def main():
 
     flame_faces, vertex_uv, face_uv = face_mesh_for(args.human_model_path, prior)
 
+    if args.lpips_weights is None and not args.allow_random_lpips:
+        raise SystemExit(
+            "training without pretrained LPIPS weights: the perceptual loss "
+            "(weight 0.2) would run on random features and the result is not "
+            "reference-comparable. Pass --lpips_weights <npz> (see python -m "
+            "exavatar_release_tpu.ops.lpips --help for the one-command "
+            "converter) or opt in explicitly with --allow_random_lpips."
+        )
     trainables, scene_state, bundle, frame_row_of = subject_bundle(
         subject, prior, cfg, flame_faces, vertex_uv, face_uv, args.lpips_weights
     )

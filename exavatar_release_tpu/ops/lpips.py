@@ -185,3 +185,106 @@ def convert_torch_lpips(out_path: str, net: str = "vgg") -> None:
     for i, lin in enumerate(model.lins):
         out[f"lin_{i}"] = lin.model[-1].weight.detach().numpy().reshape(-1)
     np.savez(out_path, **out)
+
+
+# torchvision nn.Sequential indices of the Conv2d layers in `.features`
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_ALEX_CONV_IDX = (0, 3, 6, 8, 10)
+
+
+def _sd_array(v) -> np.ndarray:
+    """Accept torch tensors or numpy arrays from a loaded state_dict."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, np.float32)
+
+
+def convert_torch_state_dicts(
+    out_path: str, features_sd: dict, lins_sd: dict, net: str = "vgg"
+) -> None:
+    """Convert raw torch state_dicts to the .npz layout ``load_lpips`` reads.
+
+    Unlike ``convert_torch_lpips`` this needs NO ``lpips``/torchvision
+    import — only the two checkpoint files, so it runs anywhere torch can
+    ``torch.load`` them:
+
+    * ``features_sd``: ``torchvision.models.vgg16().features.state_dict()``
+      (keys ``0.weight`` ...; a full-model state_dict with ``features.``
+      prefixes also works), or alexnet's ``.features`` equivalent;
+    * ``lins_sd``: the lpips v0.1 head checkpoint
+      (``lpips/weights/v0.1/{vgg,alex}.pth`` — keys
+      ``lin{i}.model.1.weight`` of shape (1, C, 1, 1)).
+
+    Fixture-tested (tests/test_image_metrics.py TestLPIPSConverter): a
+    synthetic torchvision-layout state_dict converts and the JAX features
+    bit-match a torch replica of the backbone.
+    """
+    conv_idx = _VGG16_CONV_IDX if net == "vgg" else _ALEX_CONV_IDX
+
+    def feat_key(i: int, leaf: str) -> str:
+        for k in (f"{i}.{leaf}", f"features.{i}.{leaf}"):
+            if k in features_sd:
+                return k
+        raise KeyError(
+            f"state_dict missing conv {i} ({leaf}); expected torchvision "
+            f"`.features` layout with Conv2d at indices {conv_idx}"
+        )
+
+    out = {"n_conv": len(conv_idx), "net": net}
+    for j, i in enumerate(conv_idx):
+        out[f"conv_w_{j}"] = _sd_array(features_sd[feat_key(i, "weight")])
+        out[f"conv_b_{j}"] = _sd_array(features_sd[feat_key(i, "bias")])
+
+    for i in range(5):
+        for k in (f"lin{i}.model.1.weight", f"lin{i}.weight", f"lin_{i}"):
+            if k in lins_sd:
+                out[f"lin_{i}"] = _sd_array(lins_sd[k]).reshape(-1)
+                break
+        else:
+            raise KeyError(
+                f"lins state_dict missing head {i}; expected lpips-v0.1 "
+                f"keys lin{i}.model.1.weight"
+            )
+    np.savez(out_path, **out)
+
+
+def _main() -> None:
+    """CLI: one-command .npz production from checkpoint files.
+
+    python -m exavatar_release_tpu.ops.lpips --net vgg \\
+        --backbone vgg16_features.pth --lins lpips_v01_vgg.pth \\
+        --out lpips_vgg.npz
+
+    (or, with the ``lpips`` pip package installed, just
+    ``--from_lpips_pkg`` — no checkpoint files needed.)"""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("--net", default="vgg", choices=["vgg", "alex"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--backbone", help="torch .pth of the backbone .features")
+    ap.add_argument("--lins", help="lpips v0.1 linear-head .pth")
+    ap.add_argument("--from_lpips_pkg", action="store_true")
+    args = ap.parse_args()
+
+    if args.from_lpips_pkg:
+        convert_torch_lpips(args.out, args.net)
+    else:
+        if not (args.backbone and args.lins):
+            ap.error("need --backbone and --lins (or --from_lpips_pkg)")
+        import torch  # type: ignore
+
+        convert_torch_state_dicts(
+            args.out,
+            torch.load(args.backbone, map_location="cpu"),
+            torch.load(args.lins, map_location="cpu"),
+            args.net,
+        )
+    # round-trip sanity: the file must load
+    p = load_lpips(args.out)
+    print(f"wrote {args.out}: net={p.net}, {len(p.conv_weights)} convs, "
+          f"lin dims {[int(w.shape[0]) for w in p.lin_weights]}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -21,6 +21,8 @@ SCALE_ARGS = [
     "--scene_capacity", "128", "--triplane_ch", "8", "--triplane_res", "16",
     "--raster_backend", "ref",
 ]
+# synthetic runs have no pretrained LPIPS; opt in to random features
+TRAIN_ARGS = SCALE_ARGS + ["--allow_random_lpips"]
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +39,7 @@ def test_train_test_evaluate_cycle(subject_dir, tmp_path_factory):
     r = subprocess.run(
         [sys.executable, "-m", "exavatar_release_tpu.apps.train",
          "--subject_root", subject_dir, "--out_dir", out,
-         "--repeat", "1", "--epochs", "1", "--max_itrs", "2"] + SCALE_ARGS,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "2"] + TRAIN_ARGS,
         env=ENV, capture_output=True, text=True, timeout=1500,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -74,7 +76,7 @@ def test_train_resume_cycle(subject_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("resume_out"))
     base = [sys.executable, "-m", "exavatar_release_tpu.apps.train",
             "--subject_root", subject_dir, "--out_dir", out,
-            "--repeat", "1", "--max_itrs", "2"] + SCALE_ARGS
+            "--repeat", "1", "--max_itrs", "2"] + TRAIN_ARGS
 
     r = subprocess.run(base + ["--epochs", "1"], env=ENV,
                        capture_output=True, text=True, timeout=1500)
@@ -101,7 +103,7 @@ def test_train_mesh_cli(subject_dir, tmp_path_factory):
         [sys.executable, "-m", "exavatar_release_tpu.apps.train",
          "--subject_root", subject_dir, "--out_dir", out,
          "--repeat", "2", "--epochs", "1", "--max_itrs", "2",
-         "--mesh", "data=2,tile=2"] + SCALE_ARGS,
+         "--mesh", "data=2,tile=2"] + TRAIN_ARGS,
         env=env, capture_output=True, text=True, timeout=1500,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -115,7 +117,7 @@ def test_train_pallas_interpret_cli(subject_dir, tmp_path_factory):
     """Train CLI on the PALLAS backend (interpret mode off-TPU): the product
     path around the flagship kernels (VERDICT round-1 #9)."""
     out = str(tmp_path_factory.mktemp("pallas_out"))
-    args_pallas = [a for a in SCALE_ARGS]
+    args_pallas = [a for a in TRAIN_ARGS]
     args_pallas[args_pallas.index("ref")] = "pallas"
     r = subprocess.run(
         [sys.executable, "-m", "exavatar_release_tpu.apps.train",
@@ -135,7 +137,7 @@ def test_animate_cycle(subject_dir, tmp_path_factory):
     r = subprocess.run(
         [sys.executable, "-m", "exavatar_release_tpu.apps.train",
          "--subject_root", subject_dir, "--out_dir", out,
-         "--repeat", "1", "--epochs", "1", "--max_itrs", "1"] + SCALE_ARGS,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "1"] + TRAIN_ARGS,
         env=ENV, capture_output=True, text=True, timeout=1500,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -238,3 +240,19 @@ main()
     assert r.returncode == 0, r.stderr[-3000:]
     assert osp.exists(osp.join(work, "smplx_optimized", "face_texture.png"))
     assert osp.exists(osp.join(work, "smplx_optimized", "face_texture_mask.png"))
+
+
+@pytest.mark.slow
+def test_train_refuses_random_lpips(subject_dir, tmp_path_factory):
+    """Without --lpips_weights, train must refuse unless --allow_random_lpips
+    (the reference trains against pretrained VGG-LPIPS; random features are
+    not comparable — round-3 verdict item 3)."""
+    out = str(tmp_path_factory.mktemp("out_refuse"))
+    r = subprocess.run(
+        [sys.executable, "-m", "exavatar_release_tpu.apps.train",
+         "--subject_root", subject_dir, "--out_dir", out,
+         "--repeat", "1", "--epochs", "1", "--max_itrs", "1"] + SCALE_ARGS,
+        env=ENV, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode != 0
+    assert "allow_random_lpips" in (r.stderr + r.stdout)
