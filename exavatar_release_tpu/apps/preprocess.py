@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--use_colmap", action="store_true")
     ap.add_argument("--colmap_bin", default="colmap")
     ap.add_argument("--sam_cmd", default="")
+    ap.add_argument("--sam_checkpoint", default="sam_vit_h_4b8939.pth")
+    ap.add_argument("--sam_model_type", default="vit_h")
     ap.add_argument("--deca_cmd", default="")
     ap.add_argument("--hand4whole_cmd", default="")
     ap.add_argument("--mmpose_cmd", default="")
@@ -102,6 +104,15 @@ def main():
     args = ap.parse_args()
     root = args.subject_root
 
+    # 0. frames from video (reference fitting/tools/extract_frames.py)
+    if osp.exists(osp.join(root, "video.mp4")) and not glob(
+        osp.join(root, "frames", "*.png")
+    ):
+        from .extract_frames import extract_frames
+
+        n = extract_frames(root)
+        print(f"[preprocess] extracted {n} frames from video.mp4")
+
     # 1. cameras
     if args.use_colmap:
         run_colmap(root, args.colmap_bin)
@@ -111,7 +122,23 @@ def main():
         make_virtual_cams(root)
 
     # 2. external detectors (pluggable; outputs land in the reference layout)
-    run_external("SAM masks", args.sam_cmd, root)
+    if args.sam_cmd:
+        run_external("SAM masks", args.sam_cmd, root)
+    else:
+        # built-in keypoint-prompted SAM driver (apps/run_sam.py) when the
+        # segment_anything package is importable; clean skip otherwise
+        try:
+            from .run_sam import load_sam_predictor, run_subject
+
+            predictor = load_sam_predictor(args.sam_checkpoint,
+                                           args.sam_model_type)
+            n = run_subject(root, predictor, write_video=not args.no_vis)
+            print(f"[preprocess] SAM masks: {n} frames")
+        except ImportError:
+            print("[preprocess] segment_anything not importable and no "
+                  "--sam_cmd; skipping SAM masks")
+        except FileNotFoundError as e:
+            print(f"[preprocess] SAM skipped (missing input): {e}")
     run_external("DECA (flame_init)", args.deca_cmd, root)
     run_external("Hand4Whole (smplx_init)", args.hand4whole_cmd, root)
     run_external("mmpose (keypoints_whole_body)", args.mmpose_cmd, root)

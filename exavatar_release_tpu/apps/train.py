@@ -217,6 +217,7 @@ def main():
             dropped = losses.pop("raster_dropped", None)
             dropped_pairs = losses.pop("raster_dropped_pairs", None)
             truncated = losses.pop("raster_truncated", None)
+            xovf = losses.pop("raster_exchange_overflow", None)
             msg += [f"loss_{n}: {float(v):.4f}" for n, v in losses.items()]
             if dropped is not None and float(dropped) > 0:
                 # (gaussian, tile) pairs lost to static binning capacities —
@@ -226,7 +227,8 @@ def main():
                 # auto-grow the overflowing capacity (recompiles once per
                 # growth; zero drops is the steady state)
                 settings = governor.update(
-                    float(dropped_pairs), float(truncated)
+                    float(dropped_pairs), float(truncated),
+                    float(xovf) if xovf is not None else 0.0,
                 )
             if dstats is not None:
                 msg += [f"scene_live: {int(dstats['n_live'])}"]

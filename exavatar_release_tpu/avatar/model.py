@@ -185,6 +185,9 @@ class ForwardOutputs(NamedTuple):
     raster_dropped: object = None
     raster_dropped_pairs: object = None
     raster_truncated: object = None
+    # gaussian-shard exchange bucket overflow (settings.gaussian_shard);
+    # mitigated by growing settings.exchange_cap
+    raster_exchange_overflow: object = None
 
 
 def forward_frame(
@@ -329,6 +332,7 @@ def forward_frame(
     dropped = sum(r.get("n_dropped", 0) for r in all_renders)
     dropped_pairs = sum(r.get("n_dropped_pairs", 0) for r in all_renders)
     truncated = sum(r.get("n_truncated", 0) for r in all_renders)
+    xovf = sum(r.get("exchange_overflow", 0) for r in all_renders)
     # all images as (3, H, W)
     img_t = frame.img
     mask_t = frame.mask
@@ -388,7 +392,7 @@ def forward_frame(
         return ForwardOutputs(
             renders, losses, scene_render["radius"], scene_render["is_vis"],
             raster_dropped=dropped, raster_dropped_pairs=dropped_pairs,
-            raster_truncated=truncated,
+            raster_truncated=truncated, raster_exchange_overflow=xovf,
         )
 
     losses["rgb_scene"] = (
@@ -478,7 +482,7 @@ def forward_frame(
     return ForwardOutputs(
         renders, losses, scene_render["radius"], scene_render["is_vis"],
         raster_dropped=dropped, raster_dropped_pairs=dropped_pairs,
-        raster_truncated=truncated,
+        raster_truncated=truncated, raster_exchange_overflow=xovf,
     )
 
 

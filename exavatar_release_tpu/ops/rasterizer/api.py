@@ -85,6 +85,17 @@ class RasterizeSettings:
     # rasterize_in_context). Enables one combined data x tile step.
     in_shard_axis: Optional[str] = None
     in_shard_size: int = 0
+    # with in_shard_axis set: ALSO shard the Gaussians over the axis — each
+    # chip projects/bins only its N/D slice and an all_to_all routes
+    # survivors to their band owners (parallel/sharded_raster.py:
+    # rasterize_gaussian_sharded_in_context). Per-chip pre-composite work
+    # scales N/D·overlap instead of N.
+    gaussian_shard: bool = False
+    # per (src chip -> dst band) bucket capacity for the gaussian-shard
+    # exchange; <= 0 auto-sizes to 4·ceil(N/D²) (128-aligned). Overflow is
+    # reported per step (``exchange_overflow``) and the train loop's
+    # RasterCapacityGovernor doubles this on sustained overflow.
+    exchange_cap: int = 0
 
     def resolve_interpret(self) -> bool:
         if self.interpret is not None:
@@ -211,12 +222,22 @@ def rasterize(
       mean2d (N, 2), radius (N,), is_vis (N,)  — densification stats
     """
     if settings.in_shard_axis is not None:
-        from ...parallel.sharded_raster import rasterize_in_context
+        from ...parallel.sharded_raster import (
+            rasterize_gaussian_sharded_in_context, rasterize_in_context,
+        )
 
+        inner = dataclasses.replace(
+            settings, in_shard_axis=None, in_shard_size=0, gaussian_shard=False
+        )
+        if settings.gaussian_shard:
+            return rasterize_gaussian_sharded_in_context(
+                means3d, scales, quats, opacities, rgbs, live, cam, img_shape,
+                bg, settings.in_shard_axis, settings.in_shard_size, inner,
+                cap=settings.exchange_cap, mean2d_offset=mean2d_offset,
+            )
         return rasterize_in_context(
             means3d, scales, quats, opacities, rgbs, live, cam, img_shape, bg,
-            settings.in_shard_axis, settings.in_shard_size,
-            dataclasses.replace(settings, in_shard_axis=None, in_shard_size=0),
+            settings.in_shard_axis, settings.in_shard_size, inner,
             mean2d_offset=mean2d_offset,
         )
 

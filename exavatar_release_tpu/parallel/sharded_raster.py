@@ -343,6 +343,103 @@ def rasterize_gaussian_sharded(
     return out
 
 
+def rasterize_gaussian_sharded_in_context(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    live: jnp.ndarray,
+    cam: Camera,
+    img_shape: Tuple[int, int],
+    bg: jnp.ndarray,
+    axis: str,
+    axis_size: int,
+    settings: RasterizeSettings,
+    cap: int = 0,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Gaussian-sharded render for callers ALREADY inside a ``shard_map``
+    over ``axis`` with the Gaussian arrays replicated (the training step's
+    situation: the model MLPs emit the full set on every chip).
+
+    Each chip takes its own N/D row slice, projects and band-targets only
+    that slice, and the ``_exchange_to_bands`` all_to_all delivers survivors
+    to their band owners — per-chip projection + binning + compositing work
+    is N/D·overlap instead of N, unlike ``rasterize_in_context`` which
+    re-projects and re-bins all N on every chip. The slice's autodiff
+    transpose pads each chip's parameter cotangent with zeros outside its
+    slice; the caller's gradient ``psum`` over the axis (which combined
+    data x tile training already does) reassembles the full gradient with no
+    extra collectives. Densification stats (mean2d / radius / is_vis) are
+    all_gathered back to full length so the returned dict is
+    consumer-identical to the replicated path.
+    """
+    H, W = int(img_shape[0]), int(img_shape[1])
+    D = axis_size
+    Hp = _round_up(H, settings.tile_h * D)
+    rows_per_dev = Hp // D
+    n = means3d.shape[0]
+    pad = -n % D
+    if pad:
+        zf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        means3d, scales, quats, opacities, rgbs = map(
+            zf, (means3d, scales, quats, opacities, rgbs)
+        )
+        live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
+        if mean2d_offset is not None:
+            mean2d_offset = zf(mean2d_offset)
+    n_pad = n + pad
+    n_loc = n_pad // D
+    if cap <= 0:
+        cap = _round_up(max(4 * (-(-n_pad // (D * D))), 128), 128)
+    cap = min(cap, n_loc)
+    if mean2d_offset is None:
+        mean2d_offset = jnp.zeros((n_pad, 2), jnp.float32)
+
+    d = jax.lax.axis_index(axis)
+    start = d * n_loc
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, n_loc, axis=0)
+
+    screen = project_gaussians(
+        sl(means3d), sl(scales), sl(quats), sl(opacities), sl(rgbs),
+        sl(live), cam, (H, W), sl(mean2d_offset),
+    )
+    payload = jnp.concatenate(
+        [screen.params, screen.color, screen.radius[:, None], screen.extent],
+        axis=1,
+    )
+    recv, vrecv, overflow = _exchange_to_bands(
+        payload, screen.mean2d[:, 1], screen.extent[:, 1],
+        screen.in_frustum, axis, D, rows_per_dev, cap,
+    )
+    band, dropped = _render_band(
+        recv[:, :8], recv[:, 8:12], recv[:, 3:5],
+        jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
+        axis, rows_per_dev, W, settings, extent=recv[:, 13:15],
+    )
+    full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
+
+    # stats back to full length (replicated, like rasterize_in_context)
+    class _Screen:
+        pass
+
+    s = _Screen()
+    s.mean2d = jax.lax.all_gather(screen.mean2d, axis, axis=0, tiled=True)[:n]
+    s.radius = jax.lax.all_gather(screen.radius, axis, axis=0, tiled=True)[:n]
+    out = _finalize(full, bg, s)
+    dropped = jax.lax.psum(dropped, axis)
+    overflow = jax.lax.psum(overflow, axis)
+    out["n_dropped"] = dropped[0] + dropped[1] + overflow
+    out["n_dropped_pairs"] = dropped[0]
+    out["n_truncated"] = dropped[1]
+    out["exchange_overflow"] = overflow
+    out["exchange_bytes"] = jnp.float32(D * cap * 15 * 4)
+    return out
+
+
 def rasterize_sharded(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,

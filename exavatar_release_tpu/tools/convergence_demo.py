@@ -47,7 +47,7 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
          W: int = 64, rings: int = 8, segs: int = 12, backend: str = "ref",
          max_per_tile: int = 512, capacity: int = 256,
          lr_scale: float = 1.0, dump_dir: str = "",
-         freeze_pose: bool = False) -> float:
+         freeze_pose: bool = False, eval_every: int = 0) -> float:
     import dataclasses
     import time
 
@@ -158,7 +158,7 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
             t_start = time.perf_counter()
         if i % 50 == 0:
             skip = ("total", "raster_dropped", "raster_dropped_pairs",
-                    "raster_truncated")
+                    "raster_truncated", "raster_exchange_overflow")
             top = sorted(
                 ((k, float(v)) for k, v in losses.items() if k not in skip),
                 key=lambda kv: -abs(kv[1]))[:4]
@@ -166,6 +166,8 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
             print(f"itr {i}: loss {float(losses['total']):.4f}  [{top_s}] "
                   f"dropped={int(losses.get('raster_dropped', 0))}",
                   flush=True)
+        if eval_every and (i + 1) % eval_every == 0:
+            print(f"itr {i + 1}: PSNR {eval_psnr(state):.2f} dB", flush=True)
         if not np.isfinite(float(losses["total"])):
             bad = {k: float(v) for k, v in losses.items()
                    if not np.isfinite(float(v))}
@@ -218,9 +220,10 @@ if __name__ == "__main__":
     ap.add_argument("--lr_scale", type=float, default=1.0)
     ap.add_argument("--dump_dir", default="")
     ap.add_argument("--freeze_pose", action="store_true")
+    ap.add_argument("--eval_every", type=int, default=0)
     args = ap.parse_args()
     main(args.steps, args.improvement_db, H=args.h, W=args.w,
          rings=args.rings, segs=args.segs, backend=args.backend,
          max_per_tile=args.max_per_tile, capacity=args.capacity,
          lr_scale=args.lr_scale, dump_dir=args.dump_dir,
-         freeze_pose=args.freeze_pose)
+         freeze_pose=args.freeze_pose, eval_every=args.eval_every)

@@ -127,6 +127,9 @@ def train_step(
         out.raster_dropped_pairs, jnp.float32
     )
     losses["raster_truncated"] = jnp.asarray(out.raster_truncated, jnp.float32)
+    losses["raster_exchange_overflow"] = jnp.asarray(
+        out.raster_exchange_overflow, jnp.float32
+    )
     return (
         TrainState(
             trainables=trainables,
@@ -233,9 +236,11 @@ class RasterCapacityGovernor:
         self.max_per_tile_ceiling = max_per_tile_ceiling
         self._pair_streak = 0
         self._trunc_streak = 0
+        self._xovf_streak = 0
         self._log = log or (lambda msg: None)
 
-    def update(self, dropped_pairs: float, truncated: float) -> RasterizeSettings:
+    def update(self, dropped_pairs: float, truncated: float,
+               exchange_overflow: float = 0.0) -> RasterizeSettings:
         """Record one step's drop counters; returns the (possibly grown)
         settings to use from the next step on."""
         import dataclasses as _dc
@@ -243,6 +248,20 @@ class RasterCapacityGovernor:
         s = self.settings
         self._pair_streak = self._pair_streak + 1 if dropped_pairs > 0 else 0
         self._trunc_streak = self._trunc_streak + 1 if truncated > 0 else 0
+        self._xovf_streak = (
+            self._xovf_streak + 1 if exchange_overflow > 0 else 0
+        )
+        if self._xovf_streak >= self.patience:
+            self._xovf_streak = 0
+            # exchange_cap <= 0 means auto (4·ceil(N/D²)); seed the explicit
+            # growth from a plausible floor so doubling has a base
+            base = s.exchange_cap if s.exchange_cap > 0 else 512
+            new = min(base * 2, self.max_pairs_ceiling)
+            if new != s.exchange_cap:
+                self._log(f"raster exchange_cap {s.exchange_cap} -> {new} "
+                          f"(sustained exchange_overflow="
+                          f"{exchange_overflow:.0f})")
+                s = _dc.replace(s, exchange_cap=new)
         if self._pair_streak >= self.patience:
             self._pair_streak = 0
             if s.max_pairs > 0:

@@ -256,3 +256,110 @@ def test_train_refuses_random_lpips(subject_dir, tmp_path_factory):
     )
     assert r.returncode != 0
     assert "allow_random_lpips" in (r.stderr + r.stdout)
+
+
+class TestSamShim:
+    """apps/run_sam.py driver logic against a fake SamPredictor (the real
+    segment_anything package is optional; the driver must reproduce the
+    reference's prompting scheme, run_sam.py:55-72)."""
+
+    class FakePredictor:
+        def __init__(self, h, w):
+            self.h, self.w = h, w
+            self.calls = []
+
+        def set_image(self, img):
+            self.img = img
+
+        def predict(self, point_coords, point_labels, box,
+                    multimask_output, mask_input=None):
+            self.calls.append({
+                "points": np.array(point_coords), "box": np.array(box),
+                "labels": np.array(point_labels),
+                "mask_input": None if mask_input is None
+                else np.array(mask_input),
+            })
+            # mask = inside the prompt box (so the output is checkable)
+            yy, xx = np.mgrid[:self.h, :self.w]
+            b = np.asarray(box)[0]
+            m = (xx >= b[0]) & (xx < b[2]) & (yy >= b[1]) & (yy < b[3])
+            return (
+                m[None].astype(bool),
+                np.array([0.9]),
+                np.full((1, self.h, self.w), 3.0, np.float32),
+            )
+
+    def test_keypoint_bbox_extension(self):
+        from exavatar_release_tpu.apps.run_sam import keypoint_bbox
+
+        kpt = np.array([[10.0, 20.0], [30.0, 60.0]], np.float32)
+        box = keypoint_bbox(kpt)  # 1.2x around center (20, 40), w=20 h=40
+        np.testing.assert_allclose(box, [8.0, 16.0, 32.0, 64.0])
+
+    def test_two_pass_prompting_and_confidence_filter(self):
+        from exavatar_release_tpu.apps.run_sam import segment_frame
+
+        pred = self.FakePredictor(48, 64)
+        img = np.zeros((48, 64, 3), np.uint8)
+        kpt = np.array([
+            [10, 10, 0.9], [30, 40, 0.8], [60, 5, 0.1],  # last: filtered
+        ], np.float32)
+        mask = segment_frame(pred, img, kpt)
+        assert len(pred.calls) == 2, "two-pass refinement expected"
+        # low-confidence keypoint excluded from prompts
+        assert pred.calls[0]["points"].shape == (2, 2)
+        assert pred.calls[0]["mask_input"] is None
+        assert pred.calls[1]["mask_input"] is not None  # logits fed back
+        assert mask.dtype == bool and mask.shape == (48, 64)
+        assert mask.any() and not mask.all()
+
+    def test_no_confident_keypoints_gives_empty_mask(self):
+        from exavatar_release_tpu.apps.run_sam import segment_frame
+
+        pred = self.FakePredictor(8, 8)
+        kpt = np.array([[1, 1, 0.2]], np.float32)
+        mask = segment_frame(pred, np.zeros((8, 8, 3), np.uint8), kpt)
+        assert not mask.any() and not pred.calls
+
+    def test_run_subject_writes_masks(self, tmp_path):
+        import cv2
+
+        from exavatar_release_tpu.apps.run_sam import run_subject
+
+        root = str(tmp_path)
+        os.makedirs(osp.join(root, "frames"))
+        os.makedirs(osp.join(root, "keypoints_whole_body"))
+        for i in range(2):
+            cv2.imwrite(
+                osp.join(root, "frames", f"{i}.png"),
+                np.full((32, 48, 3), 100, np.uint8),
+            )
+            with open(
+                osp.join(root, "keypoints_whole_body", f"{i}.json"), "w"
+            ) as f:
+                json.dump([[8.0, 8.0, 0.9], [24.0, 20.0, 0.9]], f)
+        n = run_subject(root, self.FakePredictor(32, 48), write_video=False)
+        assert n == 2
+        m = cv2.imread(osp.join(root, "masks", "0.png"), cv2.IMREAD_GRAYSCALE)
+        assert m is not None and set(np.unique(m)) <= {0, 255}
+        assert (m == 255).any()
+
+
+def test_extract_frames_roundtrip(tmp_path):
+    import cv2
+
+    from exavatar_release_tpu.apps.extract_frames import extract_frames
+
+    root = str(tmp_path)
+    vw = cv2.VideoWriter(
+        osp.join(root, "video.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
+        10, (32, 24),
+    )
+    for i in range(6):
+        vw.write(np.full((24, 32, 3), i * 20, np.uint8))
+    vw.release()
+    n = extract_frames(root, every=2)
+    assert n == 3
+    assert sorted(os.listdir(osp.join(root, "frames"))) == [
+        "0.png", "2.png", "4.png"
+    ]

@@ -188,6 +188,61 @@ class TestGaussianSharded:
         )
         assert int(np.asarray(gsh["exchange_overflow"]).sum()) > 0
 
+    def test_in_context_matches_single_device(self, mesh, rng):
+        """rasterize() with in_shard_axis + gaussian_shard inside a caller
+        shard_map: values AND grads match single-device (the training-step
+        integration path, VERDICT round-3 item 5)."""
+        import dataclasses
+
+        from jax.sharding import PartitionSpec as P
+
+        sc = make_scene(rng, n=64, img=(64, 256))
+        ctx = dataclasses.replace(
+            SETTINGS, in_shard_axis="tile", in_shard_size=4,
+            gaussian_shard=True,
+        )
+
+        def loss_from(render):
+            return jnp.sum(render["img"] ** 2) + jnp.sum(render["mask"])
+
+        def loss_single(means, scales, opac, rgbs):
+            return loss_from(rasterize(
+                means, scales, sc["quats"], opac, rgbs, sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], SETTINGS,
+            ))
+
+        def ctx_value_and_grads(means, scales, opac, rgbs):
+            # the dp_tile_train gradient accounting: every chip computes the
+            # same full-image loss scaled 1/D, grads psum'd INSIDE the
+            # shard_map reassemble the slice-local parameter cotangents
+            def inner(means, scales, opac, rgbs):
+                def f(ms, scl, op, rg):
+                    r = rasterize(
+                        ms, scl, sc["quats"], op, rg, sc["live"],
+                        sc["cam"], sc["img_shape"], sc["bg"], ctx,
+                    )
+                    assert r["img"].shape == (64, 256, 3)
+                    return loss_from(r) / 4.0
+
+                v, g = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                    means, scales, opac, rgbs
+                )
+                return jax.lax.psum((v,) + g, "tile")
+
+            return jax.shard_map(
+                inner, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                out_specs=(P(),) * 5, check_vma=False,
+            )(means, scales, opac, rgbs)
+
+        args = (sc["means3d"], sc["scales"], sc["opacities"], sc["rgbs"])
+        v1, g1 = jax.value_and_grad(loss_single, argnums=(0, 1, 2, 3))(*args)
+        v2, *g2 = ctx_value_and_grads(*args)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4
+            )
+
 
 class TestDPTrain:
     def test_dp_step_runs_and_matches_loss_scale(self, data_mesh):
@@ -273,6 +328,57 @@ class TestDPTileTrain:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2.2e-3
             )
         # densify stats agree too
+        np.testing.assert_allclose(
+            np.asarray(new_state.scene_aux.track_cnt),
+            np.asarray(ref_state.scene_aux.track_cnt),
+        )
+
+    def test_combined_mesh_gaussian_shard_matches_dp_only(self, data_mesh):
+        """The combined step with settings.gaussian_shard=True — Gaussians
+        sliced per tile chip + all_to_all band exchange INSIDE the training
+        step (VERDICT round-3 item 5) — matches the DP-only update."""
+        import dataclasses
+
+        from exavatar_release_tpu.parallel.dp_tile_train import dp_tile_train_step
+
+        s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
+        bundle = ModelBundle(
+            buffers=s.buffers, prior=s.prior, statics=s.statics,
+            id_info=s.id_info, lpips=s.lpips, face_texture=s.face_texture,
+            face_texture_mask=s.face_texture_mask,
+            init_joint_offset=s.init_joint_offset,
+        )
+        opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=100)
+        state = init_train_state(s.trainables, s.scene_state.aux, opt)
+
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *s.frame_data)
+        keys = jax.random.key_data(jax.random.split(jax.random.PRNGKey(0), 2))
+
+        batch_dp = shard_batch_to_mesh(batch, data_mesh, "data")
+        ref_state, ref_losses = dp_train_step(
+            state, bundle, batch_dp, keys, opt, s.cfg, data_mesh, "data",
+            is_warmup=True, settings=s.settings,
+        )
+
+        mesh2 = make_mesh((2, 2), ("data", "tile"))
+        batch_2d = shard_batch_to_mesh(batch, mesh2, "data")
+        gs_settings = dataclasses.replace(s.settings, gaussian_shard=True)
+        new_state, losses = dp_tile_train_step(
+            state, bundle, batch_2d, keys, opt, s.cfg, mesh2,
+            is_warmup=True, settings=gs_settings,
+        )
+        np.testing.assert_allclose(
+            float(losses["total"]), float(ref_losses["total"]),
+            rtol=2e-4, atol=1e-6,
+        )
+        # tolerance story: see test_combined_mesh_matches_dp_only
+        for a, b in zip(
+            jax.tree.leaves(new_state.trainables),
+            jax.tree.leaves(ref_state.trainables),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2.2e-3
+            )
         np.testing.assert_allclose(
             np.asarray(new_state.scene_aux.track_cnt),
             np.asarray(ref_state.scene_aux.track_cnt),
