@@ -60,6 +60,17 @@ class RasterizeSettings:
     # bf16 inputs for the triangular prefix matmuls (kernel_v=2 only);
     # measured NO speedup on v5e (Mosaic runs these at f32 rate regardless)
     prefix_bf16: bool = False
+    # CM-kernel early-termination granularity: the tile's pixels run as
+    # ``composite_sub_*`` independent row groups, each skipping remaining
+    # chunks as soon as ITS pixels all terminate (one straggler pixel no
+    # longer drags the whole 32x128 tile through every live chunk).
+    # Forward is bit-exact for any value; backward grad accumulation splits
+    # the P-contraction into partial sums (fp summation order only).
+    # Separate fwd/bwd knobs: the bwd's higher per-chunk compute amortizes
+    # the x-sub loop overhead, the fwd's does not (v5e 1080p/100k: fwd 27 ->
+    # 39.5 ms at sub=4, bwd 53 -> 45.9 ms) — see ROUND4.md for the sweep.
+    composite_sub_fwd: int = 1
+    composite_sub_bwd: int = 4
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
     # cap on (gaussian, tile) pair expansion in the sort-based binning;
     # radii are <= ~20 px after screen-size pruning so 64 is generous
@@ -107,6 +118,15 @@ class RasterizeSettings:
         while self.max_per_tile % c:
             c //= 2
         return c
+
+    def resolve_sub(self) -> Tuple[int, int]:
+        def fit(s):
+            s = max(1, s)
+            while self.tile_h % s:
+                s //= 2
+            return s
+
+        return fit(self.composite_sub_fwd), fit(self.composite_sub_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -160,31 +180,33 @@ def _composite_bwd(tile_shape, chunk, interpret, kernel_v, prefix_bf16, res, cot
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _composite_cm(win, tile_counts, tile_origins, bg, tile_shape, chunk,
-                  interpret):
+                  interpret, sub=(1, 1)):
     """Channel-major composite (the default v1 path): win (T, 12, K) ->
     full (T, 5, P) = [bg-composited rgb, depth, mask]. Every pallas
     operand/result keeps its minor dim at K or P — see pallas_kernels's CM
-    section for why (T(8,128) layout padding)."""
+    section for why (T(8,128) layout padding). ``sub``: (fwd, bwd)
+    row-group early-termination granularities (see _forward_kernel_cm)."""
     return pallas_kernels.composite_tiles_fwd_cm(
-        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret
+        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret,
+        sub=sub[0],
     )
 
 
 def _composite_cm_fwd(win, tile_counts, tile_origins, bg, tile_shape, chunk,
-                      interpret):
+                      interpret, sub=(1, 1)):
     full = _composite_cm(
-        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret
+        win, tile_counts, tile_origins, bg, tile_shape, chunk, interpret, sub
     )
     return full, (win, tile_counts, tile_origins, bg, full)
 
 
-def _composite_cm_bwd(tile_shape, chunk, interpret, res, g_full):
+def _composite_cm_bwd(tile_shape, chunk, interpret, sub, res, g_full):
     win, tile_counts, tile_origins, bg, full = res
     dwin = pallas_kernels.composite_tiles_bwd_cm(
         win, tile_counts, tile_origins, bg, full, g_full, tile_shape, chunk,
-        interpret,
+        interpret, sub=sub[1],
     )
     # d img_c / d bg_c = tfinal = 1 - mask (per pixel)
     tfinal = 1.0 - full[:, 4, :]  # (T, P)
@@ -338,6 +360,7 @@ def rasterize(
             (th, tw),
             settings.resolve_chunk(),
             settings.resolve_interpret(),
+            settings.resolve_sub(),
         )  # (T, 5, P)
         full = (
             full_t.reshape(ny, nx, 5, th, tw)

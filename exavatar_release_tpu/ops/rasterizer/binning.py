@@ -113,22 +113,33 @@ def bin_gaussians_scan(
     )
 
 
-def _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, extent=None):
+def _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, extent=None,
+               tile_row_offset=0):
     """CUDA getRect: [lo, hi) tile rectangle covered by each Gaussian.
 
     ``extent`` (N, 2), when given, replaces the CUDA bounding circle with
     the tight per-axis AABB of the alpha >= 1/255 ellipse
     (preprocess.ScreenGaussians.extent) — pairs outside it would be zeroed
-    by the kernel's alpha cutoff anyway, so this is exact, just cheaper."""
+    by the kernel's alpha cutoff anyway, so this is exact, just cheaper.
+
+    ``tile_row_offset`` (traced int/scalar): viewport = global tile rows
+    [offset, offset + ny). The floors run on GLOBAL pixel coords and the
+    offset is subtracted in (exact) tile-index space — shifting mean2d by
+    the band origin in f32 BEFORE the floor rounds differently near tile
+    boundaries and flips marginal pairs, which broke sharded-vs-single
+    bit-parity at 512x896/100k."""
     rx = rad if extent is None else extent[:, 0]
     ry = rad if extent is None else extent[:, 1]
+    off = jnp.float32(tile_row_offset)
     x_lo = jnp.clip(jnp.floor((m2d[:, 0] - rx) / tile_w), 0, nx).astype(jnp.int32)
     x_hi = jnp.clip(
         jnp.floor((m2d[:, 0] + rx + tile_w - 1) / tile_w), 0, nx
     ).astype(jnp.int32)
-    y_lo = jnp.clip(jnp.floor((m2d[:, 1] - ry) / tile_h), 0, ny).astype(jnp.int32)
+    y_lo = jnp.clip(
+        jnp.floor((m2d[:, 1] - ry) / tile_h) - off, 0, ny
+    ).astype(jnp.int32)
     y_hi = jnp.clip(
-        jnp.floor((m2d[:, 1] + ry + tile_h - 1) / tile_h), 0, ny
+        jnp.floor((m2d[:, 1] + ry + tile_h - 1) / tile_h) - off, 0, ny
     ).astype(jnp.int32)
     return x_lo, x_hi, y_lo, y_hi
 
@@ -150,9 +161,11 @@ def bin_gaussians_sorted(
     max_per_tile: int = 1024,
     max_tiles_per_gaussian: int = 64,
     extent: jnp.ndarray = None,
+    tile_row_offset=0,
 ) -> TileBinning:
     """Pair-sort binning (see module docstring). ``extent`` (N, 2): tight
-    per-axis AABBs replacing the bounding circle (see _tile_rect)."""
+    per-axis AABBs replacing the bounding circle; ``tile_row_offset``:
+    viewport starts at that GLOBAL tile row (see _tile_rect)."""
     n = mean2d.shape[0]
     ny, nx = tile_grid(img_shape, tile_h, tile_w)
     num_tiles = ny * nx
@@ -166,7 +179,9 @@ def bin_gaussians_sorted(
     rad = radius[order]
     vis = visible[order] & (rad > 0)
     ext = None if extent is None else extent[order]
-    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, ext)
+    x_lo, x_hi, y_lo, y_hi = _tile_rect(
+        m2d, rad, tile_h, tile_w, ny, nx, ext, tile_row_offset
+    )
     w = x_hi - x_lo  # rect width in tiles
     span = w * (y_hi - y_lo)
 

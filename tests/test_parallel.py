@@ -244,6 +244,24 @@ class TestGaussianSharded:
             )
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SLOW") != "1",
+    reason="~2 min CPU at 64k Gaussians; set RUN_SLOW=1",
+)
+def test_sharded_parity_at_scale(mesh):
+    """Realistic-shape sharded parity (round-3 verdict item 4): both
+    in-context paths at >=64k Gaussians / 512x896 on the 8-CPU mesh, with
+    the calibrated rms tolerances (see tools/multichip_scale.py for the
+    bit-level diagnosis of what CPU-interpret noise remains)."""
+    from exavatar_release_tpu.parallel import make_mesh
+    from exavatar_release_tpu.tools.multichip_scale import check_sharded_scale
+
+    mesh8 = make_mesh((8,), ("tile",))
+    report = check_sharded_scale(mesh8, n=64_000, H=512, W=896)
+    assert report["t_tile_in_context_s"] > 0
+    assert report["t_gaussian_sharded_s"] > 0
+
+
 class TestDPTrain:
     def test_dp_step_runs_and_matches_loss_scale(self, data_mesh):
         s = AvatarSetup(H=32, W=48, capacity=128, n_scene=60, n_frames=2)
