@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
     ap.add_argument("--loader", default="auto", choices=["auto", "native", "python"],
                     help="frame decode pipeline: native C++ prefetcher or cv2")
+    ap.add_argument(
+        "--gaussian_shard", action="store_true",
+        help="with --mesh tile>1: shard the Gaussians over the tile axis "
+             "too (all_to_all band exchange; per-chip projection/binning "
+             "work N/D instead of N)")
     ap.add_argument("--max_itrs", type=int, default=None, help="debug cap")
     ap.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of itrs 20-40")
@@ -135,7 +140,9 @@ def main():
             start_epoch += 1
             logger.info(f"resumed from {ck}")
 
-    settings = RasterizeSettings(backend=args.raster_backend)
+    settings = RasterizeSettings(
+        backend=args.raster_backend, gaussian_shard=args.gaussian_shard
+    )
     from ..train.loop import RasterCapacityGovernor
 
     governor = RasterCapacityGovernor(settings, log=logger.info)
