@@ -11,7 +11,7 @@ new capability, designed for TPU slices per the project north star:
 * everything expressed with jax.sharding.Mesh + shard_map, so XLA inserts
   the ICI/DCN collectives.
 """
-from .mesh import make_mesh
+from .mesh import init_distributed, make_host_mesh, make_mesh
 from .sharded_raster import (
     rasterize_gaussian_sharded,
     rasterize_in_context,
@@ -21,6 +21,8 @@ from .dp_train import dp_train_step, replicate_to_mesh
 from .dp_tile_train import dp_tile_train_step
 
 __all__ = [
+    "init_distributed",
+    "make_host_mesh",
     "make_mesh",
     "rasterize_sharded",
     "rasterize_gaussian_sharded",

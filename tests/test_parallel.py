@@ -464,3 +464,22 @@ class TestMeshSettingsIntegration:
             np.testing.assert_allclose(
                 float(l1[k]), float(l0[k]), rtol=2e-4, atol=1e-5,
             )
+
+
+class TestHostMesh:
+    def test_make_host_mesh_tile_within_host(self):
+        """Tile axis minor (contiguous device ids = within-host on real
+        pods, so the per-step collectives ride ICI); data axis major."""
+        from exavatar_release_tpu.parallel import make_host_mesh
+
+        m = make_host_mesh(d_tile=4)
+        assert m.axis_names == ("data", "tile")
+        assert dict(m.shape) == {"data": 2, "tile": 4}
+        ids = np.array([[d.id for d in row] for row in m.devices])
+        # tile-minor: each tile group is a contiguous id block
+        assert (ids == np.arange(8).reshape(2, 4)).all()
+
+    def test_init_distributed_single_process_noop(self):
+        from exavatar_release_tpu.parallel import init_distributed
+
+        init_distributed()  # must not raise or hang without a coordinator
