@@ -23,9 +23,17 @@ def main():
     try:
         backend = jax.default_backend()
     except RuntimeError:
-        # plugin backend (tunnel) failed to init — re-exec letting jax pick
+        # plugin backend (tunnel) failed to init. The tunnel has transient
+        # outages (observed round 4) — retry in fresh processes before
+        # falling back to whatever jax picks, so a blip doesn't silently
+        # demote the benchmark to CPU.
+        tries = int(os.environ.get("BENCH_TPU_TRIES", "5"))
         if os.environ.get("JAX_PLATFORMS"):
-            os.environ["JAX_PLATFORMS"] = ""
+            if tries > 1:
+                os.environ["BENCH_TPU_TRIES"] = str(tries - 1)
+                time.sleep(30)
+            else:
+                os.environ["JAX_PLATFORMS"] = ""
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise
     on_tpu = backend == "tpu"
