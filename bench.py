@@ -99,11 +99,20 @@ def main():
     out = step(means, scales, quats, opac, rgbs)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(means, scales, quats, opac, rgbs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    # >= 5 independent timed repeats: a single number cannot distinguish a
+    # regression from tunnel/machine variance (round-4 verdict weak #4 —
+    # r3 0.8385 vs r4 0.8174 on identical code was unattributable). The
+    # median is the headline; the spread ships alongside it.
+    reps = int(os.environ.get("BENCH_REPEATS", "5" if on_tpu else "2"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(means, scales, quats, opac, rgbs)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(times))
+    dt_spread = float(np.max(times) - np.min(times))
 
     if "--detail" in sys.argv:
         fwd = jax.jit(loss)
@@ -138,16 +147,30 @@ def main():
     sol_time = 3.0 * rf["sol_time"]  # fwd + backward (~2x fwd)
     vs_baseline = sol_time / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": f"3dgs_fwd_bwd_rays_per_s_{backend}_{H}x{W}_{n}g",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+    # second ratio: vs the MEASURED attainable floor of the shipped
+    # algorithm (kvariants decomposition on this machine class — ~36% of
+    # kernel time is CUDA-semantics-pinned transcendentals the analytic
+    # yardstick prices at zero; see ROUND4.md + MEASURED_FLOOR.json for
+    # provenance and the one-command regeneration procedure). Reported so
+    # the fixed-yardstick ratio and the algorithm-floor ratio can be read
+    # side by side every round.
+    out_rec = {
+        "metric": f"3dgs_fwd_bwd_rays_per_s_{backend}_{H}x{W}_{n}g",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "step_ms_median": round(dt * 1e3, 2),
+        "step_ms_spread": round(dt_spread * 1e3, 2),
+        "repeats": reps,
+    }
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "MEASURED_FLOOR.json")
+    if on_tpu and os.path.exists(floor_path):
+        with open(floor_path) as f:
+            floor = json.load(f)
+        out_rec["vs_measured_floor"] = round(floor["floor_ms"] / (dt * 1e3), 4)
+
+    print(json.dumps(out_rec))
 
 
 if __name__ == "__main__":

@@ -126,19 +126,25 @@ def main():
         run_external("SAM masks", args.sam_cmd, root)
     else:
         # built-in keypoint-prompted SAM driver (apps/run_sam.py) when the
-        # segment_anything package is importable; clean skip otherwise
+        # segment_anything package is importable; clean skip otherwise.
+        # Only the import/load is guarded — an ImportError raised INSIDE
+        # run_subject (e.g. cv2 missing) must surface as itself, and a
+        # missing per-frame input mid-run must fail loudly rather than
+        # silently leave partial masks the skip logic would never redo.
+        predictor = None
         try:
             from .run_sam import load_sam_predictor, run_subject
 
             predictor = load_sam_predictor(args.sam_checkpoint,
                                            args.sam_model_type)
-            n = run_subject(root, predictor, write_video=not args.no_vis)
-            print(f"[preprocess] SAM masks: {n} frames")
         except ImportError:
             print("[preprocess] segment_anything not importable and no "
                   "--sam_cmd; skipping SAM masks")
         except FileNotFoundError as e:
-            print(f"[preprocess] SAM skipped (missing input): {e}")
+            print(f"[preprocess] SAM skipped (missing checkpoint): {e}")
+        if predictor is not None:
+            n = run_subject(root, predictor, write_video=not args.no_vis)
+            print(f"[preprocess] SAM masks: {n} frames")
     run_external("DECA (flame_init)", args.deca_cmd, root)
     run_external("Hand4Whole (smplx_init)", args.hand4whole_cmd, root)
     run_external("mmpose (keypoints_whole_body)", args.mmpose_cmd, root)

@@ -145,7 +145,19 @@ def main():
     )
     from ..train.loop import RasterCapacityGovernor
 
-    governor = RasterCapacityGovernor(settings, log=logger.info)
+    # the largest render is scene+human; its resolved auto exchange cap is
+    # the floor any explicit governor growth must start from
+    xcap_floor = 512
+    if args.gaussian_shard and mesh is not None and d_tile > 1:
+        from ..parallel.sharded_raster import resolve_exchange_cap
+
+        n_max = int(state.trainables.scene.mean.shape[0]) + int(
+            prior.vertex_num_upsampled
+        )
+        xcap_floor = resolve_exchange_cap(n_max, d_tile)
+    governor = RasterCapacityGovernor(
+        settings, log=logger.info, exchange_cap_floor=xcap_floor
+    )
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     tot_timer, gpu_timer, read_timer = Timer(), Timer(), Timer()

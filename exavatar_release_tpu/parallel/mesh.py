@@ -32,18 +32,36 @@ def init_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Multi-host bootstrap (SURVEY §5 "Distributed communication backend":
-    the reference has none — single process, single GPU). On TPU pods the
-    launcher environment usually provides everything and a bare
-    ``jax.distributed.initialize()`` suffices; explicit args cover
-    GPU/CPU clusters. Safe to call once per process, before first jax use;
-    no-op for single-process runs with no coordinator configured."""
+    the reference has none — single process, single GPU). Call once per
+    process before first jax use. Initializes ``jax.distributed`` when
+
+    - explicit args are given (GPU/CPU clusters), or
+    - ``COORDINATOR_ADDRESS`` is set (this package's launcher convention,
+      see tests/test_distributed_smoke.py), or
+    - a recognized cluster environment is detected (TPU pod via libtpu's
+      multi-host env vars, SLURM, or JAX's own ``JAX_COORDINATOR_ADDRESS``)
+      — there ``jax.distributed.initialize()`` self-configures.
+
+    No-op for plain single-process runs."""
     import os
 
-    if (coordinator_address is None and num_processes is None
-            and "COORDINATOR_ADDRESS" not in os.environ):
+    cluster_env = any(
+        v in os.environ
+        for v in (
+            "COORDINATOR_ADDRESS",       # this package's launcher convention
+            "JAX_COORDINATOR_ADDRESS",   # jax's own override
+            "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
+            "TPU_WORKER_HOSTNAMES",      # GCE TPU pod metadata
+            "TPU_WORKER_ID",
+            "SLURM_JOB_NUM_NODES",       # SLURM clusters
+        )
+    )
+    if coordinator_address is None and num_processes is None and not cluster_env:
         return  # single-process: nothing to initialize
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
+        coordinator_address=(
+            coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+        ),
         num_processes=num_processes,
         process_id=process_id,
     )
@@ -73,6 +91,20 @@ def make_host_mesh(
         f"tile axis {d_tile} must nest within/across whole hosts "
         f"({local} chips/host)"
     )
+    assert len(devices) % d_tile == 0, (
+        f"tile axis {d_tile} must divide the global device count "
+        f"{len(devices)} (heterogeneous/partial slices cannot form a "
+        f"rectangular (data, tile) mesh)"
+    )
+    if d_tile > local:
+        import warnings
+
+        warnings.warn(
+            f"tile axis {d_tile} spans {d_tile // local} hosts "
+            f"({local} chips each): the per-step band all_gather / "
+            f"all_to_all will cross DCN instead of riding ICI",
+            stacklevel=2,
+        )
     d_data = len(devices) // d_tile
     arr = np.asarray(devices).reshape(d_data, d_tile)
     return Mesh(arr, (data_axis, tile_axis))

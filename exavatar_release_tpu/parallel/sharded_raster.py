@@ -51,6 +51,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolve_exchange_cap(n: int, d: int) -> int:
+    """The auto per-(src chip → dst band) bucket capacity used by the
+    gaussian-sharded paths when ``settings.exchange_cap <= 0``:
+    4·ceil(N/D²) (≥ 4x the uniform-scene expectation), 128-aligned, and
+    never more than the per-chip slice N/D. Exported so capacity policy
+    (train.loop.RasterCapacityGovernor) can grow FROM this resolved value
+    instead of replacing an auto cap with a smaller explicit one."""
+    n_pad = _round_up(n, d)
+    cap = _round_up(max(4 * (-(-n_pad // (d * d))), 128), 128)
+    return min(cap, n_pad // d)
+
+
 def _render_band(
     params: jnp.ndarray,
     color: jnp.ndarray,
@@ -217,6 +229,7 @@ def _exchange_to_bands(
     D: int,
     rows_per_dev: int,
     cap: int,
+    depth: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Route each local Gaussian's payload row to every row band it touches.
 
@@ -227,7 +240,20 @@ def _exchange_to_bands(
     ``cap``). The compaction scatter hits unique slots, so its transpose is
     a pure gather; ``all_to_all`` is its own transpose — parameter
     cotangents flow back to each Gaussian's owner with no extra psum.
+
+    ``depth`` (n_loc,): when given, locals are processed in ascending-depth
+    order so bucket overflow drops the DEEPEST extra pairs (the ones the
+    compositor would have weighted least); without it overflow drops in
+    input-array order. Overflow is transient either way — the train loop's
+    governor doubles ``cap`` on sustained overflow.
     """
+    if depth is not None:
+        # stable ascending-depth permutation; invisible rows sort last so
+        # they never displace a live pair's slot
+        dkey = jnp.where(visible, jax.lax.stop_gradient(depth), jnp.inf)
+        perm = jnp.argsort(dkey, stable=True)
+        payload = payload[perm]
+        y, radius, visible = y[perm], radius[perm], visible[perm]
     n_loc, C = payload.shape
     y = jax.lax.stop_gradient(y)
     r = jax.lax.stop_gradient(radius)
@@ -307,7 +333,7 @@ def rasterize_gaussian_sharded(
             mean2d_offset = zf(mean2d_offset)
     n_pad = n + pad
     if cap <= 0:
-        cap = _round_up(max(4 * (-(-n_pad // (D * D))), 128), 128)
+        cap = resolve_exchange_cap(n, D)
     cap = min(cap, n_pad // D)
     if mean2d_offset is None:
         mean2d_offset = jnp.zeros((n_pad, 2), jnp.float32)
@@ -324,6 +350,7 @@ def rasterize_gaussian_sharded(
         recv, vrecv, overflow = _exchange_to_bands(
             payload, screen.mean2d[:, 1], screen.extent[:, 1],
             screen.in_frustum, axis, D, rows_per_dev, cap,
+            depth=screen.depth,
         )
         band, dropped = _render_band(
             recv[:, :8], recv[:, 8:12], recv[:, 3:5],
@@ -412,7 +439,7 @@ def rasterize_gaussian_sharded_in_context(
     n_pad = n + pad
     n_loc = n_pad // D
     if cap <= 0:
-        cap = _round_up(max(4 * (-(-n_pad // (D * D))), 128), 128)
+        cap = resolve_exchange_cap(n, D)
     cap = min(cap, n_loc)
     if mean2d_offset is None:
         mean2d_offset = jnp.zeros((n_pad, 2), jnp.float32)
@@ -432,6 +459,7 @@ def rasterize_gaussian_sharded_in_context(
     recv, vrecv, overflow = _exchange_to_bands(
         payload, screen.mean2d[:, 1], screen.extent[:, 1],
         screen.in_frustum, axis, D, rows_per_dev, cap,
+        depth=screen.depth,
     )
     band, dropped = _render_band(
         recv[:, :8], recv[:, 8:12], recv[:, 3:5],

@@ -229,11 +229,19 @@ class RasterCapacityGovernor:
 
     def __init__(self, settings: RasterizeSettings, patience: int = 3,
                  max_pairs_ceiling: int = 1 << 24,
-                 max_per_tile_ceiling: int = 1 << 14, log=None):
+                 max_per_tile_ceiling: int = 1 << 14, log=None,
+                 exchange_cap_floor: int = 512):
         self.settings = settings
         self.patience = patience
         self.max_pairs_ceiling = max_pairs_ceiling
         self.max_per_tile_ceiling = max_per_tile_ceiling
+        # when settings.exchange_cap <= 0 (auto) the rasterizer resolves it
+        # to 4·ceil(N/D²) (parallel.sharded_raster.resolve_exchange_cap);
+        # growth must seed FROM that resolved value — callers using
+        # gaussian_shard should pass resolve_exchange_cap(N_max, D) here so
+        # the first growth never replaces a large auto cap with a smaller
+        # explicit one (which would worsen the very overflow it heals)
+        self.exchange_cap_floor = exchange_cap_floor
         self._pair_streak = 0
         self._trunc_streak = 0
         self._xovf_streak = 0
@@ -254,8 +262,10 @@ class RasterCapacityGovernor:
         if self._xovf_streak >= self.patience:
             self._xovf_streak = 0
             # exchange_cap <= 0 means auto (4·ceil(N/D²)); seed the explicit
-            # growth from a plausible floor so doubling has a base
-            base = s.exchange_cap if s.exchange_cap > 0 else 512
+            # growth from the caller-resolved auto cap so doubling never
+            # SHRINKS capacity below what the auto path already provided
+            base = (s.exchange_cap if s.exchange_cap > 0
+                    else max(512, self.exchange_cap_floor))
             new = min(base * 2, self.max_pairs_ceiling)
             if new != s.exchange_cap:
                 self._log(f"raster exchange_cap {s.exchange_cap} -> {new} "
