@@ -97,6 +97,9 @@ def main():
     ap.add_argument("--hand4whole_cmd", default="")
     ap.add_argument("--mmpose_cmd", default="")
     ap.add_argument("--depth_cmd", default="")
+    ap.add_argument("--depth_checkpoint",
+                    default="checkpoints/depth_anything_v2_vitl.pth")
+    ap.add_argument("--depth_encoder", default="vitl")
     ap.add_argument("--smooth_length", type=int, default=9)
     ap.add_argument("--skip_fit", action="store_true")
     ap.add_argument("--no_vis", action="store_true",
@@ -122,6 +125,28 @@ def main():
         make_virtual_cams(root)
 
     # 2. external detectors (pluggable; outputs land in the reference layout)
+    # mmpose runs FIRST: its keypoints_whole_body jsons prompt the SAM
+    # masks below AND drive the whole fitting stage (reference
+    # fitting/tools/run.py:74-81 runs it before fit.py)
+    if args.mmpose_cmd:
+        run_external("mmpose (keypoints_whole_body)", args.mmpose_cmd, root)
+    else:
+        # built-in whole-body keypoint driver (apps/run_mmpose.py) when
+        # mmpose is importable; clean skip otherwise (import/load-scoped
+        # guard — errors inside run_subject surface as themselves)
+        mm_infer = None
+        try:
+            from .run_mmpose import load_mmpose_inferencer
+            from .run_mmpose import run_subject as run_mmpose_subject
+
+            mm_infer = load_mmpose_inferencer()
+        except ImportError:
+            print("[preprocess] mmpose not importable and no --mmpose_cmd; "
+                  "skipping whole-body keypoints")
+        if mm_infer is not None:
+            n = run_mmpose_subject(root, mm_infer,
+                                   write_video=not args.no_vis)
+            print(f"[preprocess] mmpose keypoints: {n} frames")
     if args.sam_cmd:
         run_external("SAM masks", args.sam_cmd, root)
     else:
@@ -147,8 +172,6 @@ def main():
             print(f"[preprocess] SAM masks: {n} frames")
     run_external("DECA (flame_init)", args.deca_cmd, root)
     run_external("Hand4Whole (smplx_init)", args.hand4whole_cmd, root)
-    run_external("mmpose (keypoints_whole_body)", args.mmpose_cmd, root)
-    run_external("Depth-Anything (bkg_point_cloud)", args.depth_cmd, root)
 
     # 3. fit
     if not args.skip_fit:
@@ -190,6 +213,29 @@ def main():
                 smooth_check_video(root, args.human_model_path, files, smoothed)
             except Exception as e:  # the video is an instrument, not a gate
                 print(f"[preprocess] smooth check video failed ({e}); continuing")
+
+    # 6. background point cloud from monocular depth — AFTER fit/smooth so
+    # the metric alignment can render the fitted meshes_smoothed plys (the
+    # reference runs its Depth-Anything shim after run.py for the same
+    # reason, run_depth_anything.py:85-91)
+    if args.depth_cmd:
+        run_external("Depth-Anything (bkg_point_cloud)", args.depth_cmd, root)
+    elif not osp.exists(osp.join(root, "bkg_point_cloud.txt")):
+        depth_fn = None
+        try:
+            from .run_depth_anything import load_depth_model
+            from .run_depth_anything import run_subject as run_depth_subject
+
+            depth_fn = load_depth_model(args.depth_checkpoint,
+                                        args.depth_encoder)
+        except ImportError:
+            print("[preprocess] depth_anything_v2 not importable and no "
+                  "--depth_cmd; skipping bkg_point_cloud")
+        except FileNotFoundError as e:
+            print(f"[preprocess] Depth-Anything skipped (missing "
+                  f"checkpoint): {e}")
+        if depth_fn is not None:
+            run_depth_subject(root, depth_fn, write_video=not args.no_vis)
 
     print("[preprocess] done")
 

@@ -345,6 +345,144 @@ class TestSamShim:
         assert (m == 255).any()
 
 
+class TestMMPoseShim:
+    """apps/run_mmpose.py with an injected fake inferencer (same pluggable
+    pattern as TestSamShim; reference fitting/tools/code_to_copy/
+    run_mmpose.py:26-66)."""
+
+    def test_best_instance_picks_highest_mean_score(self):
+        from exavatar_release_tpu.apps.run_mmpose import best_instance
+
+        weak = (np.zeros((133, 2), np.float32),
+                np.full((133,), 0.3, np.float32))
+        strong = (np.ones((133, 2), np.float32),
+                  np.full((133,), 0.8, np.float32))
+        kpt = best_instance([weak, strong])
+        assert kpt.shape == (133, 3)
+        np.testing.assert_allclose(kpt[:, 0], 1.0)
+        np.testing.assert_allclose(kpt[:, 2], 0.8)
+
+    def test_best_instance_empty_frame(self):
+        from exavatar_release_tpu.apps.run_mmpose import (
+            NUM_WHOLEBODY_KPT, best_instance,
+        )
+
+        kpt = best_instance([])
+        assert kpt.shape == (NUM_WHOLEBODY_KPT, 3)
+        assert (kpt == 0).all()  # zero scores = everything filtered later
+
+    def test_run_subject_writes_keypoint_jsons(self, tmp_path):
+        import cv2
+
+        from exavatar_release_tpu.apps.run_mmpose import run_subject
+
+        root = str(tmp_path)
+        os.makedirs(osp.join(root, "frames"))
+        for i in range(2):
+            cv2.imwrite(osp.join(root, "frames", f"{i}.png"),
+                        np.full((32, 48, 3), 90, np.uint8))
+
+        calls = []
+
+        def fake_infer(img_rgb):
+            calls.append(img_rgb.shape)
+            xy = np.tile(np.array([[10.0, 12.0]], np.float32), (133, 1))
+            return [(xy, np.full((133,), 0.7, np.float32))]
+
+        n = run_subject(root, fake_infer, write_video=False)
+        assert n == 2 and len(calls) == 2
+        with open(osp.join(root, "keypoints_whole_body", "1.json")) as f:
+            kpt = np.asarray(json.load(f), np.float32)
+        assert kpt.shape == (133, 3)
+        np.testing.assert_allclose(kpt[0], [10.0, 12.0, 0.7])
+
+
+class TestDepthAnythingShim:
+    """apps/run_depth_anything.py with an injected fake depth network: the
+    metric alignment + background accumulation + back-projection must
+    produce a consistent bkg_point_cloud.txt (the math itself is
+    unit-tested in test_data.py; this covers the driver's file plumbing,
+    reference fitting/tools/code_to_copy/run_depth_anything.py:60-121)."""
+
+    def _make_subject(self, root, h=32, w=48, n_frames=2):
+        import cv2
+
+        from exavatar_release_tpu.utils.mesh_io import save_ply
+
+        focal, princpt = [40.0, 40.0], [w / 2.0, h / 2.0]
+        os.makedirs(osp.join(root, "frames"))
+        os.makedirs(osp.join(root, "cam_params"))
+        os.makedirs(osp.join(root, "masks"))
+        meshes = osp.join(root, "smplx_optimized", "meshes_smoothed")
+        os.makedirs(meshes)
+        # camera-frame quad at z=2 covering the central ~half of the image
+        z = 2.0
+        xs = (np.array([8.0, w - 8.0]) - princpt[0]) / focal[0] * z
+        ys = (np.array([8.0, h - 8.0]) - princpt[1]) / focal[1] * z
+        verts = np.array([
+            [xs[0], ys[0], z], [xs[1], ys[0], z],
+            [xs[1], ys[1], z], [xs[0], ys[1], z],
+        ], np.float32)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        for i in range(n_frames):
+            cv2.imwrite(osp.join(root, "frames", f"{i}.png"),
+                        np.full((h, w, 3), 120, np.uint8))
+            with open(osp.join(root, "cam_params", f"{i}.json"), "w") as f:
+                json.dump({"focal": focal, "princpt": princpt}, f)
+            # human mask = a small center blob; the rest is background
+            m = np.zeros((h, w), np.uint8)
+            m[h // 2 - 4:h // 2 + 4, w // 2 - 6:w // 2 + 6] = 255
+            cv2.imwrite(osp.join(root, "masks", f"{i}.png"), m)
+            save_ply(osp.join(meshes, f"{i}_smplx.ply"), verts, faces)
+        return (h, w)
+
+    def test_run_subject_builds_bkg_cloud(self, tmp_path):
+        from exavatar_release_tpu.apps.run_depth_anything import run_subject
+
+        root = str(tmp_path)
+        h, w = self._make_subject(root)
+
+        def fake_predict(img_rgb):
+            # relative inverse depth (larger = closer): a vertical ramp
+            return np.tile(
+                np.linspace(2.0, 1.0, img_rgb.shape[0],
+                            dtype=np.float32)[:, None],
+                (1, img_rgb.shape[1]),
+            )
+
+        n = run_subject(root, fake_predict, write_video=False)
+        assert n == 2
+        assert osp.exists(osp.join(root, "depthmaps", "0.png"))
+        cloud = np.loadtxt(
+            osp.join(root, "bkg_point_cloud.txt"), dtype=np.float32
+        ).reshape(-1, 6)
+        # every non-human pixel contributes exactly one averaged point
+        assert cloud.shape[0] == h * w - 8 * 12
+        assert np.isfinite(cloud).all()
+        # aligned depth must sit at the mesh's metric scale (z = 2) — the
+        # mean over mesh pixels is matched exactly by the alignment
+        assert 0.5 < np.median(cloud[:, 2]) < 4.0
+        # colors are [0, 1] rgb of the constant-120 frames
+        np.testing.assert_allclose(cloud[:, 3:], 120.0 / 255.0, atol=1e-3)
+
+    def test_missing_meshes_writes_depthmaps_only(self, tmp_path):
+        import cv2
+
+        from exavatar_release_tpu.apps.run_depth_anything import run_subject
+
+        root = str(tmp_path)
+        os.makedirs(osp.join(root, "frames"))
+        cv2.imwrite(osp.join(root, "frames", "0.png"),
+                    np.zeros((16, 16, 3), np.uint8))
+        n = run_subject(
+            root, lambda im: np.ones(im.shape[:2], np.float32),
+            write_video=False,
+        )
+        assert n == 0
+        assert osp.exists(osp.join(root, "depthmaps", "0.png"))
+        assert not osp.exists(osp.join(root, "bkg_point_cloud.txt"))
+
+
 def test_extract_frames_roundtrip(tmp_path):
     import cv2
 
