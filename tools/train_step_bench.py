@@ -154,6 +154,14 @@ def main():
                     help="time the is_warmup=True step instead")
     ap.add_argument("--profile_dir", default="",
                     help="write a jax.profiler trace of 2 steps here")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time the step's components in isolation "
+                         "(human fwd+bwd, each render, face renders, "
+                         "losses, optimizer)")
+    ap.add_argument("--steady", action="store_true",
+                    help="start from a plausible converged-scale state "
+                         "(scale head at log 0.01) and auto-grow binning "
+                         "capacities to zero drops before timing")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend())
@@ -168,6 +176,21 @@ def main():
     )
     print(f"setup: {time.perf_counter() - t0:.1f}s")
     settings = RasterizeSettings(backend=args.backend)
+    if args.steady:
+        # training steady state, not step 0: converged runs live at small
+        # scales with ZERO dropped pairs (the governor drives drops to 0 and
+        # every drop also skips compositing work, so a dropping config times
+        # an unrealistically light step). Scale head -> log(0.01) like
+        # tools/convergence_demo.py, then grow capacities until no drops.
+        sn = trainables.human.scale_net
+        nb = len(sn.biases)
+        sn = sn._replace(biases=tuple(
+            jnp.full_like(b, float(np.log(0.01))) if i == nb - 1 else b
+            for i, b in enumerate(sn.biases)
+        ))
+        trainables = trainables.replace(
+            human=trainables.human.replace(scale_net=sn)
+        )
     opt = make_optimizer(trainables, cfg, 6.0, tot_itr=30000)
     state = init_train_state(trainables, scene_state.aux, opt)
     key = jax.random.PRNGKey(0)
@@ -181,6 +204,31 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
           f"(loss={float(losses['total']):.4f}, "
           f"dropped={int(losses['raster_dropped'])})")
+
+    if args.steady:
+        # grow capacities to the zero-drop steady state (each growth
+        # recompiles once, like real training's O(log) governor events)
+        from exavatar_release_tpu.train.loop import RasterCapacityGovernor
+
+        gov = RasterCapacityGovernor(settings, patience=1, log=print)
+        for _ in range(5):
+            if float(losses["raster_dropped"]) == 0:
+                break
+            settings = gov.update(
+                float(losses["raster_dropped_pairs"]),
+                float(losses["raster_truncated"]),
+            )
+            t0 = time.perf_counter()
+            state, losses = train_step(
+                state, bundle, frame, key, opt, cfg,
+                is_warmup=args.warmup_mode, settings=settings,
+            )
+            jax.block_until_ready(losses["total"])
+            print(f"  regrown step: {time.perf_counter() - t0:.1f}s "
+                  f"(dropped={int(losses['raster_dropped'])})")
+        print(f"steady state: dropped={int(losses['raster_dropped'])} "
+              f"(pairs={int(losses['raster_dropped_pairs'])}, "
+              f"trunc={int(losses['raster_truncated'])})")
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
@@ -207,6 +255,131 @@ def main():
         f"{args.scene_capacity} scene capacity), backend={args.backend}"
     )
     print(f"  = {1.0 / dt:.2f} itr/s")
+
+    if args.breakdown:
+        run_breakdown(args, cfg, bundle, state, frame, settings, opt, dt)
+
+
+def run_breakdown(args, cfg, bundle, state, frame, settings, opt, step_dt):
+    """Time the train step's components in ISOLATION (each its own jit,
+    fwd+bwd where training differentiates it). The residual vs the full
+    step is losses + assembly + overheads that only exist composed."""
+    from exavatar_release_tpu.avatar import scene as sc
+    from exavatar_release_tpu.avatar.gaussians import concat_assets, detach_assets
+    from exavatar_release_tpu.avatar.human import human_forward
+    from exavatar_release_tpu.ops.rasterizer.api import rasterize
+
+    H, W = args.h, args.w
+    tr = state.trainables
+    iters = max(2, args.iters // 2)
+
+    def timeit(label, fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"  {label:<28s} {ms:8.1f} ms")
+        return ms
+
+    print("component breakdown (isolated jits, fwd+bwd):")
+
+    # human model: triplane sample + MLP heads + KNN skinning + LBS, and
+    # its backward (training differentiates through all of it)
+    def human_loss(human, frames):
+        p = frames.lookup(frame.frame_row)
+        hout = human_forward(
+            human, bundle.buffers, bundle.prior, p, bundle.id_info,
+            frame.cam.R, frame.cam.t, cfg,
+        )
+        return (
+            jnp.sum(hout.assets.mean_3d) + jnp.sum(hout.assets.scale)
+            + jnp.sum(hout.assets.rgb)
+            + jnp.sum(hout.assets_refined.mean_3d)
+            + jnp.sum(hout.assets_refined.scale)
+            + jnp.sum(hout.assets_refined.rgb)
+        )
+
+    t_human = timeit(
+        "human fwd+bwd (LBS+MLPs)",
+        jax.jit(jax.grad(human_loss, argnums=(0, 1))), tr.human, tr.frames,
+    )
+
+    # materialize the render inputs once
+    scene_asset = sc.scene_assets(
+        sc.SceneState(tr.scene, state.scene_aux), frame.cam.R, frame.cam.t
+    )
+    p = tr.frames.lookup(frame.frame_row)
+    hout = human_forward(
+        tr.human, bundle.buffers, bundle.prior, p, bundle.id_info,
+        frame.cam.R, frame.cam.t, cfg,
+    )
+    sets = {
+        "scene": scene_asset,
+        "human": hout.assets,
+        "human_ref": hout.assets_refined,
+        "scene+human": concat_assets(detach_assets(scene_asset), hout.assets),
+        "scene+human_ref": concat_assets(
+            detach_assets(scene_asset), hout.assets_refined
+        ),
+    }
+    t_renders = 0.0
+    for name, a in sets.items():
+        def rloss(mean, scale, rot, opac, rgb, live=a.live):
+            r = rasterize(mean, scale, rot, opac, rgb, live, frame.cam,
+                          (H, W), jnp.zeros(3), settings)
+            return jnp.sum(r["img"]) + jnp.sum(r["mask"]) + jnp.sum(r["depth"])
+
+        t_renders += timeit(
+            f"render {name} ({a.mean_3d.shape[0]}g)",
+            jax.jit(jax.grad(rloss, argnums=(0, 1, 2, 3, 4))),
+            a.mean_3d, a.scale, a.rotation, a.opacity, a.rgb,
+        )
+
+    # face mesh renders (2x in the step)
+    from exavatar_release_tpu.ops.mesh_raster import render_textured_mesh
+
+    frh = min(cfg.face_render_h, H)
+    frw = min(cfg.face_render_w, W)
+    uvmap = jnp.concatenate(
+        [bundle.face_texture, bundle.face_texture_mask], axis=0
+    )
+    fv = bundle.statics.face_vertex_idx
+
+    def floss(verts):
+        patch = render_textured_mesh(
+            uvmap, verts, jnp.asarray(bundle.statics.face_faces),
+            frame.cam.R, frame.cam.t, frame.cam.focal, frame.cam.princpt,
+            (frh, frw), jnp.asarray(bundle.statics.face_face_uv),
+            jnp.asarray(bundle.statics.face_vertex_uv),
+        )
+        return jnp.sum(patch)
+
+    t_face = 2 * timeit(
+        f"face mesh render x2 ({frh}x{frw})",
+        jax.jit(jax.grad(floss)), hout.assets.mean_3d[fv],
+    )
+
+    # optimizer update alone
+    import optax
+
+    g_fake = jax.tree.map(jnp.ones_like, tr)
+
+    def opt_step(g, opt_state, params):
+        upd, new_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), new_state
+
+    t_opt = timeit(
+        "optimizer update", jax.jit(opt_step), g_fake, state.opt_state, tr
+    )
+
+    known = t_human + t_renders + t_face + t_opt
+    print(f"  {'sum of components':<28s} {known:8.1f} ms")
+    print(f"  {'full step (composed)':<28s} {step_dt * 1e3:8.1f} ms")
+    print(f"  {'residual (losses+glue)':<28s} "
+          f"{step_dt * 1e3 - known:8.1f} ms")
 
 
 if __name__ == "__main__":
