@@ -28,7 +28,12 @@ import jax.numpy as jnp
 
 from ...core.camera import Camera
 from . import jax_ref, pallas_kernels
-from .binning import bin_gaussians_compact, bin_gaussians_sorted, tile_grid
+from .binning import (
+    bin_gaussians_compact,
+    bin_gaussians_ragged,
+    bin_gaussians_sorted,
+    tile_grid,
+)
 from .preprocess import ScreenGaussians, pack_tile_quads, project_gaussians
 
 
@@ -72,6 +77,17 @@ class RasterizeSettings:
     composite_sub_fwd: int = 1
     composite_sub_bwd: int = 4
     interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+    # pair-major (ragged) compositing: stream a chunk-aligned pair list
+    # through the composite kernels instead of dense (T, 12, K) windows —
+    # work, memory, and DMA scale with the LIVE pair count and max_per_tile
+    # truncation ceases to exist (binning.bin_gaussians_ragged +
+    # pallas_kernels.composite_pairs_*_rg). The right mode at reference
+    # density: the zero-truncation dense capacity for a 164k-Gaussian human
+    # at 1080p is K=16384, where the dense path spends most of its time
+    # moving empty window slots (2.42 -> measured s/itr vs this path;
+    # tools/train_step_bench.py --steady). Dense stays default for
+    # low-occupancy scenes where its simpler pipeline wins.
+    pair_major: bool = False
     # cap on (gaussian, tile) pair expansion in the sort-based binning;
     # radii are <= ~20 px after screen-size pruning so 64 is generous
     max_tiles_per_gaussian: int = 64
@@ -217,6 +233,39 @@ def _composite_cm_bwd(tile_shape, chunk, interpret, sub, res, g_full):
 _composite_cm.defvjp(_composite_cm_fwd, _composite_cm_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _composite_rg(rows, tid, flags, bg, oy_off, tile_shape, num_tiles, chunk,
+                  nx, interpret):
+    """Ragged pair-major composite: rows (12, Pa) chunk-aligned pair rows ->
+    full (T, 5, P). Differentiable in rows and bg."""
+    return pallas_kernels.composite_pairs_fwd_rg(
+        rows, tid, flags, bg, oy_off, tile_shape, num_tiles, chunk, nx,
+        interpret,
+    )
+
+
+def _composite_rg_fwd(rows, tid, flags, bg, oy_off, tile_shape, num_tiles,
+                      chunk, nx, interpret):
+    full = _composite_rg(rows, tid, flags, bg, oy_off, tile_shape, num_tiles,
+                         chunk, nx, interpret)
+    return full, (rows, tid, flags, bg, oy_off, full)
+
+
+def _composite_rg_bwd(tile_shape, num_tiles, chunk, nx, interpret, res,
+                      g_full):
+    rows, tid, flags, bg, oy_off, full = res
+    drows = pallas_kernels.composite_pairs_bwd_rg(
+        rows, tid, flags, bg, oy_off, full, g_full, tile_shape, num_tiles,
+        chunk, nx, interpret,
+    )
+    tfinal = 1.0 - full[:, 4, :]  # (T, P)
+    dbg = jnp.sum(g_full[:, 0:3, :] * tfinal[:, None, :], axis=(0, 2))
+    return drows, None, None, dbg, None
+
+
+_composite_rg.defvjp(_composite_rg_fwd, _composite_rg_bwd)
+
+
 # --------------------------------------------------------------------------
 # public entry
 # --------------------------------------------------------------------------
@@ -286,6 +335,50 @@ def rasterize(
         settings.max_pairs if settings.max_pairs > 0
         else settings.pairs_per_gaussian * n
     )
+
+    if settings.pair_major and settings.backend != "ref":
+        # ragged pair-major path: no (T, K) tables, no truncation — see
+        # RasterizeSettings.pair_major. The (12, chunk) pair blocks need
+        # their minor dim 128-aligned for the Mosaic lowering.
+        chunk = max(128, -(-settings.chunk // 128) * 128)
+        rb = bin_gaussians_ragged(
+            jax.lax.stop_gradient(screen.mean2d),
+            jax.lax.stop_gradient(screen.radius),
+            jax.lax.stop_gradient(screen.depth),
+            screen.in_frustum,
+            (H, W), th, tw, chunk=chunk, max_pairs=max_pairs,
+            extent=jax.lax.stop_gradient(screen.extent),
+        )
+        sentinel = jnp.zeros((1, 12), jnp.float32).at[0, 5].set(-1e9)
+        rows = jnp.concatenate([screen.params, screen.color], axis=1)
+        order_pad = jnp.concatenate(
+            [rb.order, jnp.array([n], jnp.int32)], axis=0
+        )
+        g2 = order_pad[rb.pair_rank]  # (Pa,) original row ids; n = sentinel
+        rows_pad = jnp.concatenate([rows, sentinel], axis=0)
+        rows2 = jnp.swapaxes(rows_pad[g2], 0, 1)  # (12, Pa) channel-major
+        full_t = _composite_rg(
+            rows2, rb.tid, rb.flags, bg, jnp.float32(0.0), (th, tw),
+            ny * nx, chunk, nx, settings.resolve_interpret(),
+        )  # (T, 5, P)
+        full = (
+            full_t.reshape(ny, nx, 5, th, tw)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(ny * th, nx * tw, 5)[:H, :W]
+        )
+        return {
+            "img": full[..., 0:3],
+            "depth": full[..., 3],
+            "mask": full[..., 4],
+            "mean2d": screen.mean2d,
+            "radius": screen.radius,
+            "is_vis": screen.radius > 0,
+            "tile_counts": rb.tile_counts,
+            "n_dropped": rb.n_dropped_pairs,
+            "n_dropped_pairs": rb.n_dropped_pairs,
+            "n_truncated": rb.n_truncated,
+        }
+
     binning = bin_gaussians_compact(
         jax.lax.stop_gradient(screen.mean2d),
         jax.lax.stop_gradient(screen.radius),

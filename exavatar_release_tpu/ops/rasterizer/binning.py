@@ -238,51 +238,18 @@ def bin_gaussians_sorted(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "img_shape", "tile_h", "tile_w", "max_per_tile", "max_pairs"
-    ),
-)
-def bin_gaussians_compact(
-    mean2d: jnp.ndarray,
-    radius: jnp.ndarray,
-    depth: jnp.ndarray,
-    visible: jnp.ndarray,
-    img_shape: Tuple[int, int],
-    tile_h: int = 8,
-    tile_w: int = 128,
-    max_per_tile: int = 1024,
-    max_pairs: int = 0,
-    extent: jnp.ndarray = None,
-) -> TileBinning:
-    """Compact pair-list binning: sort ONLY a (max_pairs,) budget.
-
-    ``bin_gaussians_sorted`` sorts a dense (N, E) pair expansion — at
-    1080p/100k that is 6.4M slots for ~1.2M live pairs, and the sort
-    dominates the frame (~73 ms of ~250 on v5e). Here each Gaussian's pairs
-    are emitted CONTIGUOUSLY at exclusive-cumsum offsets, so the sort (and
-    every later per-pair op) runs on a snug static budget:
-
-      * segment ids via the scatter-ones + cumsum expansion trick (no
-        searchsorted over N, no (N, E) materialisation);
-      * depth rank rides the single-key stable tile sort as a value operand
-        — no iota / inverse permutation needed.
-
-    ``max_pairs`` <= 0 means 16·N. If the scene overflows the budget the
-    DEEPEST Gaussians' pairs are dropped first (emission is depth-ordered),
-    which degrades gracefully. Does not populate the pair_slot/... fields
-    (tile_gather's backward needs the dense layout).
-    """
+def _compact_sorted_pairs(
+    mean2d, radius, depth, visible, img_shape, tile_h, tile_w, max_pairs,
+    extent,
+):
+    """Shared core of the compact/ragged binnings: emit each Gaussian's
+    pairs contiguously at exclusive-cumsum offsets inside a (max_pairs,)
+    budget, then one single-key stable tile sort. Returns
+    (order, tile_sorted, rank_sorted, starts, counts, total_pairs, ny, nx)
+    with depth order preserved within every tile."""
     n = mean2d.shape[0]
     ny, nx = tile_grid(img_shape, tile_h, tile_w)
     num_tiles = ny * nx
-    if max_pairs <= 0:
-        # pairs per Gaussian shrink with tile area: ~12/N at 8x128 tiles,
-        # ~4/N at 32x128 (1080p, radius<=~20 px after screen-size pruning).
-        # The sort and every per-pair op run on this budget; overflow drops
-        # the DEEPEST pairs and is reported via n_dropped_pairs.
-        max_pairs = n * max(6, 128 // tile_h)
     Pm = max_pairs
 
     sort_key = jnp.where(visible, depth, jnp.inf)
@@ -347,6 +314,58 @@ def bin_gaussians_compact(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
+    total_pairs = offsets[-1] + span[-1]
+    return order, tile_sorted, rank_sorted, starts, counts, total_pairs, ny, nx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "img_shape", "tile_h", "tile_w", "max_per_tile", "max_pairs"
+    ),
+)
+def bin_gaussians_compact(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    visible: jnp.ndarray,
+    img_shape: Tuple[int, int],
+    tile_h: int = 8,
+    tile_w: int = 128,
+    max_per_tile: int = 1024,
+    max_pairs: int = 0,
+    extent: jnp.ndarray = None,
+) -> TileBinning:
+    """Compact pair-list binning: sort ONLY a (max_pairs,) budget.
+
+    ``bin_gaussians_sorted`` sorts a dense (N, E) pair expansion — at
+    1080p/100k that is 6.4M slots for ~1.2M live pairs, and the sort
+    dominates the frame (~73 ms of ~250 on v5e). Here each Gaussian's pairs
+    are emitted CONTIGUOUSLY at exclusive-cumsum offsets, so the sort (and
+    every later per-pair op) runs on a snug static budget:
+
+      * segment ids via the scatter-ones + cumsum expansion trick (no
+        searchsorted over N, no (N, E) materialisation);
+      * depth rank rides the single-key stable tile sort as a value operand
+        — no iota / inverse permutation needed.
+
+    ``max_pairs`` <= 0 means 16·N. If the scene overflows the budget the
+    DEEPEST Gaussians' pairs are dropped first (emission is depth-ordered),
+    which degrades gracefully. Does not populate the pair_slot/... fields
+    (tile_gather's backward needs the dense layout).
+    """
+    n = mean2d.shape[0]
+    if max_pairs <= 0:
+        # pairs per Gaussian shrink with tile area: ~12/N at 8x128 tiles,
+        # ~4/N at 32x128 (1080p, radius<=~20 px after screen-size pruning).
+        # The sort and every per-pair op run on this budget; overflow drops
+        # the DEEPEST pairs and is reported via n_dropped_pairs.
+        max_pairs = n * max(6, 128 // tile_h)
+    Pm = max_pairs
+    (order, tile_sorted, rank_sorted, starts, counts, total_pairs,
+     ny, nx) = _compact_sorted_pairs(
+        mean2d, radius, depth, visible, img_shape, tile_h, tile_w, Pm, extent
+    )
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     idx = starts[:-1, None] + k
@@ -355,7 +374,6 @@ def bin_gaussians_compact(
     gathered = rank_pad[jnp.clip(idx, 0, Pm)]
     tile_indices = jnp.where(in_tile, gathered, n)
 
-    total_pairs = offsets[-1] + span[-1]
     return TileBinning(
         order=order,
         tile_indices=tile_indices,
@@ -363,6 +381,101 @@ def bin_gaussians_compact(
         num_tiles=(ny, nx),
         n_dropped_pairs=jnp.maximum(total_pairs - Pm, 0),
         n_truncated=jnp.sum(jnp.maximum(counts - max_per_tile, 0)),
+    )
+
+
+class RaggedBinning(NamedTuple):
+    """Chunk-aligned pair-major binning for the ragged compositing kernels
+    (pallas_kernels.composite_pairs_*_rg). No per-tile capacity exists —
+    the only cap is the global pair budget."""
+
+    order: jnp.ndarray  # (N,) depth sort
+    pair_rank: jnp.ndarray  # (Pa,) int32 depth-rank per aligned slot; N = pad
+    tid: jnp.ndarray  # (NC,) int32 tile id per chunk slot
+    flags: jnp.ndarray  # (NC,) int32 bit0 first / bit1 last / bit2 valid
+    tile_counts: jnp.ndarray  # (T,)
+    num_tiles: Tuple[int, int]
+    n_dropped_pairs: jnp.ndarray  # () int32
+    n_truncated: jnp.ndarray  # () int32 — always 0 (kept for API parity)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_shape", "tile_h", "tile_w", "chunk", "max_pairs"),
+)
+def bin_gaussians_ragged(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    visible: jnp.ndarray,
+    img_shape: Tuple[int, int],
+    tile_h: int = 32,
+    tile_w: int = 128,
+    chunk: int = 256,
+    max_pairs: int = 0,
+    extent: jnp.ndarray = None,
+) -> RaggedBinning:
+    """Pair-major binning: the sorted pair list is re-scattered so every
+    tile's window starts on a ``chunk`` boundary (one scatter; the aligned
+    capacity is max_pairs + T·chunk), plus per-chunk-slot metadata (tile
+    id, first/last/valid flags) that scalar-prefetch drives the ragged
+    kernels' output-block revisit pattern with. Every tile owns >= 1 slot
+    so empty tiles still emit background. There is NO max_per_tile and no
+    truncation — per-tile occupancy is bounded only by the global budget
+    (the TPU analog of the CUDA rasterizer's dynamic ranges buffer)."""
+    n = mean2d.shape[0]
+    if max_pairs <= 0:
+        max_pairs = n * max(6, 128 // tile_h)
+    Pm = -(-max_pairs // chunk) * chunk
+    (order, tile_sorted, rank_sorted, starts, counts, total_pairs,
+     ny, nx) = _compact_sorted_pairs(
+        mean2d, radius, depth, visible, img_shape, tile_h, tile_w, Pm, extent
+    )
+    num_tiles = ny * nx
+    Pa = Pm + num_tiles * chunk
+    NC = Pa // chunk
+
+    nchunks = jnp.maximum(-(-counts // chunk), 1)  # (T,) >= 1
+    chunk_starts = jnp.cumsum(nchunks) - nchunks
+    total_chunks = chunk_starts[-1] + nchunks[-1]
+
+    # scatter each sorted pair to its chunk-aligned slot
+    j = jnp.arange(Pm, dtype=jnp.int32)
+    pv = tile_sorted < num_tiles
+    t_safe = jnp.where(pv, tile_sorted, 0)
+    dest = jnp.where(
+        pv, chunk_starts[t_safe] * chunk + (j - starts[t_safe]), Pa
+    )
+    pair_rank = (
+        jnp.full((Pa + 1,), n, jnp.int32)
+        .at[dest].set(rank_sorted, mode="drop", unique_indices=True)[:-1]
+    )
+
+    # per-chunk-slot metadata via scatter + forward-fill (chunk_starts is
+    # strictly increasing since every tile owns >= 1 chunk)
+    jc = jnp.arange(NC, dtype=jnp.int32)
+    tid = jax.lax.cummax(
+        jnp.zeros((NC,), jnp.int32).at[chunk_starts].set(
+            jnp.arange(num_tiles, dtype=jnp.int32), mode="drop"
+        )
+    )
+    first = jc == chunk_starts[tid]
+    last = jc == chunk_starts[tid] + nchunks[tid] - 1
+    valid = jc < total_chunks
+    flags = (
+        first.astype(jnp.int32)
+        + 2 * (last & valid).astype(jnp.int32)
+        + 4 * valid.astype(jnp.int32)
+    )
+    return RaggedBinning(
+        order=order,
+        pair_rank=pair_rank,
+        tid=tid,
+        flags=flags,
+        tile_counts=counts,
+        num_tiles=(ny, nx),
+        n_dropped_pairs=jnp.maximum(total_pairs - Pm, 0),
+        n_truncated=jnp.zeros((), jnp.int32),
     )
 
 

@@ -1170,3 +1170,317 @@ def composite_tiles_bwd(
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(*args)
+
+
+# --------------------------------------------------------------------------
+# ragged (pair-major) channel-major kernels
+# --------------------------------------------------------------------------
+#
+# The dense CM kernels DMA one (12, K) window per tile, so HBM traffic and
+# table memory scale as T·K even when most slots are sentinel padding — at
+# reference-density avatar scale (164k-Gaussian human at 1080p) the
+# zero-truncation capacity is K ≈ 16384 and the dense step spends most of
+# its time moving empty window slots (measured 2.42 s/itr vs 1.04 at a
+# truncating K=1024, tools/train_step_bench.py --steady). These kernels
+# instead stream a CHUNK-ALIGNED PAIR LIST (binning.bin_gaussians_ragged):
+# grid = one step per chunk SLOT, with scalar-prefetched per-slot tile ids
+# driving the output block index — the TPU analog of CUDA's dynamic
+# per-tile ranges (diff-gaussian-rasterization's ranges buffer). Work,
+# memory, and DMA all scale with the LIVE pair count; per-tile capacity
+# (and its truncation failure mode) ceases to exist.
+#
+# Grid-revisit contract: consecutive slots of one tile map to the same
+# output block, so Mosaic keeps it in VMEM and flushes on tile change;
+# every tile owns >= 1 slot (empty tiles emit pure background).
+
+
+def _forward_kernel_rg(
+    tid_ref,  # scalar prefetch (NC,) int32: tile id per chunk slot
+    flag_ref,  # scalar prefetch (NC,) int32: bit0 first, bit1 last, bit2 valid
+    bg_ref,  # SMEM (1, 3)
+    oy_ref,  # SMEM (1, 1) f32: global row offset of tile row 0 (sharded band)
+    rows_ref,  # VMEM (12, chunk) — this slot's pair rows, channel-major
+    out_ref,  # out VMEM (1, 5, P)
+    acc,  # scratch (P, 4)
+    tcarry,  # scratch (P, 1)
+    done,  # scratch (P, 1)
+    *,
+    th: int,
+    tw: int,
+    chunk: int,
+    nx: int,
+):
+    j = pl.program_id(0)
+    t = tid_ref[j]
+    flags = flag_ref[j]
+    P = th * tw
+    m_excl, _ = _tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    ox = ((t % nx) * tw).astype(F32)
+    oy = ((t // nx) * th).astype(F32) + oy_ref[0, 0]
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+
+    @pl.when((flags & 1) != 0)
+    def _init():
+        acc[:] = jnp.zeros((P, 4), F32)
+        tcarry[:] = jnp.ones((P, 1), F32)
+        done[:] = jnp.zeros((P, 1), F32)
+
+    @pl.when(((flags & 4) != 0) & (jnp.min(done[:]) < 1.0))
+    def _compute():
+        wrow = rows_ref[:, :]  # (12, G)
+        alpha, _ = _alphas_from_qT(pxg, pyg, wrow[0:6])
+        wlog = jnp.log1p(-alpha)
+        cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+        T_raw = jnp.exp(cum_excl) * tcarry[:]
+        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+        dead = jnp.maximum(trigger, done[:])
+        w = jnp.where(dead > 0.0, 0.0, alpha * T_raw)
+        color = wrow[8:12].T  # (G, 4)
+        acc[:] += _dot(w, color, ((1,), (0,)), _PREC_GRAD)
+        wlog_eff = jnp.where(dead > 0.0, 0.0, wlog)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
+
+    @pl.when((flags & 2) != 0)
+    def _emit():
+        accT = acc[:].T  # (4, P)
+        tfT = tcarry[:].T  # (1, P)
+        out_ref[0] = jnp.concatenate(
+            [
+                accT[0:1] + bg_ref[0, 0] * tfT,
+                accT[1:2] + bg_ref[0, 1] * tfT,
+                accT[2:3] + bg_ref[0, 2] * tfT,
+                accT[3:4],
+                1.0 - tfT,
+            ],
+            axis=0,
+        )
+
+
+def _backward_kernel_rg(
+    tid_ref,  # scalar prefetch (NC,) int32
+    flag_ref,  # scalar prefetch (NC,) int32
+    bg_ref,  # SMEM (1, 3)
+    oy_ref,  # SMEM (1, 1)
+    rows_ref,  # VMEM (12, chunk)
+    full_ref,  # VMEM (1, 5, P) forward output of this slot's tile
+    gfull_ref,  # VMEM (1, 5, P) cotangent
+    dwin_ref,  # out VMEM (12, chunk)
+    tcarry,
+    pcarry,
+    done,
+    gacc_s,  # scratch (P, 4): per-tile g_acc, built at the first slot
+    gaccT_s,  # scratch (4, P)
+    A_p_s,  # scratch (P, 1)
+    *,
+    th: int,
+    tw: int,
+    chunk: int,
+    nx: int,
+):
+    j = pl.program_id(0)
+    t = tid_ref[j]
+    flags = flag_ref[j]
+    P = th * tw
+    m_excl, m_incl = _tri_matrices(chunk)
+    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    ox = ((t % nx) * tw).astype(F32)
+    oy = ((t // nx) * th).astype(F32) + oy_ref[0, 0]
+    pxg = (i % tw).astype(F32) + ox
+    pyg = (i // tw).astype(F32) + oy
+    basisT = _pixel_basis_T(th, tw)  # (8, P) tile-local coords
+
+    @pl.when((flags & 1) != 0)
+    def _init():
+        tcarry[:] = jnp.ones((P, 1), F32)
+        pcarry[:] = jnp.zeros((P, 1), F32)
+        done[:] = jnp.zeros((P, 1), F32)
+        # reconstruct accum/tfinal cotangents from the fused output (same
+        # algebra as _backward_kernel_cm's per-group preamble)
+        gf = gfull_ref[0]  # (5, P)
+        ff = full_ref[0]
+        bg0 = bg_ref[0, 0]
+        bg1 = bg_ref[0, 1]
+        bg2 = bg_ref[0, 2]
+        tfT = 1.0 - ff[4:5]
+        g_accT = gf[0:4]
+        g_tfT = bg0 * gf[0:1] + bg1 * gf[1:2] + bg2 * gf[2:3] - gf[4:5]
+        acc0 = ff[0:1] - bg0 * tfT
+        acc1 = ff[1:2] - bg1 * tfT
+        acc2 = ff[2:3] - bg2 * tfT
+        A_pT = (g_accT[0:1] * acc0 + g_accT[1:2] * acc1 + g_accT[2:3] * acc2
+                + g_accT[3:4] * ff[3:4] + g_tfT * tfT)  # (1, P)
+        gaccT_s[:] = g_accT
+        gacc_s[:] = g_accT.T
+        A_p_s[:] = A_pT.T
+
+    live = ((flags & 4) != 0) & (jnp.min(done[:]) < 1.0)
+
+    @pl.when(live)
+    def _compute():
+        wrow = rows_ref[:, :]
+        qT = wrow[0:6]
+        colorT = wrow[8:12]
+        g_acc = gacc_s[:]
+        A_p = A_p_s[:]
+        alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
+
+        wlog = jnp.log1p(-alpha)
+        cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+        T_raw = jnp.exp(cum_excl) * tcarry[:]
+        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+        dead = jnp.maximum(trigger, done[:])
+        alive = dead == 0.0
+        alpha_eff = jnp.where(alive, alpha, 0.0)
+        w = alpha_eff * T_raw
+
+        cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
+              + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
+        wcg = w * cg
+        P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
+        dalpha = jnp.where(
+            alive,
+            T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+            0.0,
+        )
+        dq = dalpha * alpha_un  # (P, G)
+
+        dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
+        dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
+        dcolorT = _dot(gaccT_s[:], w, ((1,), (0,)), _PREC_GRAD)  # (4, G)
+        dwin_ref[:, :] = jnp.concatenate([dquadT, dcolorT], axis=0)
+
+        pcarry[:] = P_incl[:, -1:]
+        wlog_eff = jnp.where(alive, wlog, 0.0)
+        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
+        done[:] = jnp.minimum(dead[:, -1:], 1.0)
+
+    @pl.when(jnp.logical_not(live))
+    def _zero():
+        # slots past a tile's termination depth (exact zeros) and padding
+        # slots (their pair rows are sentinels routed to a dropped row by
+        # the caller, but zeros keep the scatter clean regardless)
+        dwin_ref[:, :] = jnp.zeros((12, chunk), F32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "num_tiles", "chunk", "nx",
+                              "interpret")
+)
+def composite_pairs_fwd_rg(
+    rows: jnp.ndarray,  # (12, Pa) chunk-aligned pair rows, channel-major
+    tid: jnp.ndarray,  # (NC,) int32 tile id per chunk slot
+    flags: jnp.ndarray,  # (NC,) int32 bit0 first / bit1 last / bit2 valid
+    bg: jnp.ndarray,  # (3,)
+    oy_off: jnp.ndarray,  # () f32 global row offset (0 off the sharded band)
+    tile_shape: Tuple[int, int],
+    num_tiles: int,
+    chunk: int,
+    nx: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns full (T, 5, P): [bg-composited rgb, depth, mask]."""
+    th, tw = tile_shape
+    P = th * tw
+    NC = tid.shape[0]
+    assert rows.shape[1] == NC * chunk, (rows.shape, NC, chunk)
+    kern = functools.partial(
+        _forward_kernel_rg, th=th, tw=tw, chunk=chunk, nx=nx
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda j, tid, flg: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda j, tid, flg: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((12, chunk), lambda j, tid, flg: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 5, P), lambda j, tid, flg: (tid[j], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 4), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 5, P), F32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        tid.astype(jnp.int32),
+        flags.astype(jnp.int32),
+        bg.reshape(1, 3).astype(F32),
+        jnp.reshape(oy_off, (1, 1)).astype(F32),
+        rows,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_shape", "num_tiles", "chunk", "nx",
+                              "interpret")
+)
+def composite_pairs_bwd_rg(
+    rows: jnp.ndarray,  # (12, Pa)
+    tid: jnp.ndarray,  # (NC,)
+    flags: jnp.ndarray,  # (NC,)
+    bg: jnp.ndarray,  # (3,)
+    oy_off: jnp.ndarray,  # ()
+    full: jnp.ndarray,  # (T, 5, P)
+    g_full: jnp.ndarray,  # (T, 5, P)
+    tile_shape: Tuple[int, int],
+    num_tiles: int,
+    chunk: int,
+    nx: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns dwin (12, Pa) — cotangents of the pair rows."""
+    th, tw = tile_shape
+    P = th * tw
+    NC = tid.shape[0]
+    kern = functools.partial(
+        _backward_kernel_rg, th=th, tw=tw, chunk=chunk, nx=nx
+    )
+    tile_map = lambda j, tid, flg: (tid[j], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda j, tid, flg: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda j, tid, flg: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((12, chunk), lambda j, tid, flg: (0, j)),
+            pl.BlockSpec((1, 5, P), tile_map),
+            pl.BlockSpec((1, 5, P), tile_map),
+        ],
+        out_specs=pl.BlockSpec((12, chunk), lambda j, tid, flg: (0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 1), F32),
+            pltpu.VMEM((P, 4), F32),
+            pltpu.VMEM((4, P), F32),
+            pltpu.VMEM((P, 1), F32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((12, NC * chunk), F32),
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(
+        tid.astype(jnp.int32),
+        flags.astype(jnp.int32),
+        bg.reshape(1, 3).astype(F32),
+        jnp.reshape(oy_off, (1, 1)).astype(F32),
+        rows,
+        full,
+        g_full,
+    )

@@ -130,6 +130,24 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         mean_offset_offset_net=constant_head(h.mean_offset_offset_net, 0.0),
     ))
 
+    if pose_perturb > 0.0:
+        # the learner starts from WRONG per-frame SMPL-X params (noise in
+        # the 6D-rotation and translation stores); the targets below render
+        # with the true ones, so pose optimization has real error to
+        # recover — the reference co-optimizes per-frame pose the same way
+        # (model.py:60-80 via smplx_param_lr)
+        prng = np.random.default_rng(11)
+        fr = s.trainables.frames
+        jitter = lambda x, sd: x + jnp.asarray(
+            prng.normal(0, sd, x.shape).astype(np.float32)
+        )
+        fr = fr.replace(
+            root_pose=jitter(fr.root_pose, pose_perturb),
+            body_pose=jitter(fr.body_pose, pose_perturb),
+            trans=jitter(fr.trans, pose_perturb * 0.02),
+        )
+        s.trainables = s.trainables.replace(frames=fr)
+
     # targets + PSNR eval render with a generous pair budget: the sparse
     # synthetic scene cloud has meter-scale Gaussians whose footprints
     # overflow the default 16*N budget at >=512p — a truncated TARGET would
@@ -184,6 +202,20 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
             float(losses.get("raster_dropped_pairs", 0.0)),
             float(losses.get("raster_truncated", 0.0)),
         )
+        if densify:
+            key, sub = jax.random.split(key)
+            state, dstats = maybe_adjust_gaussians(
+                state, sub, i, s.cfg, optimizer=opt
+            )
+            if dstats is not None:
+                print(
+                    f"itr {i}: densify: +{int(dstats['n_cloned'])} cloned "
+                    f"+{int(dstats['n_split'])} split "
+                    f"-{int(dstats['n_pruned'])} pruned "
+                    f"(live {int(dstats['n_live'])}"
+                    f"/{state.trainables.scene.mean.shape[0]}, "
+                    f"dropped {int(dstats['n_dropped'])})", flush=True,
+                )
         if i == s.cfg.warmup_itr + 1:  # both variants compiled; start clock
             jax.block_until_ready(losses["total"])
             t_start = time.perf_counter()
@@ -227,6 +259,27 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
             iio.imwrite(f"{dump_dir}/target{j}.png",
                         (np.clip(tgt_img, 0, 1) * 255).astype(np.uint8))
         print(f"dumped renders to {dump_dir}", flush=True)
+    if pose_perturb > 0.0:
+        # pose recovery report: distance of the learner's per-frame params
+        # to the TRUE (target) params, before vs after training, plus the
+        # total movement — "nonzero pose-param movement" is the full-recipe
+        # evidence the round-4 verdict asks for
+        def pose_dist(fr_a, fr_b):
+            return {
+                "root": float(jnp.sqrt(jnp.mean(
+                    (fr_a.root_pose - fr_b.root_pose) ** 2))),
+                "body": float(jnp.sqrt(jnp.mean(
+                    (fr_a.body_pose - fr_b.body_pose) ** 2))),
+                "trans": float(jnp.sqrt(jnp.mean(
+                    (fr_a.trans - fr_b.trans) ** 2))),
+            }
+
+        err0 = pose_dist(s.trainables.frames, tgt.frames)
+        err1 = pose_dist(state.trainables.frames, tgt.frames)
+        mov = pose_dist(state.trainables.frames, s.trainables.frames)
+        print(f"pose error vs truth (rms 6d/m): init {err0} -> final {err1}",
+              flush=True)
+        print(f"pose movement from init (rms): {mov}", flush=True)
     p1 = eval_psnr(state)
     print(f"PSNR after {steps} itrs: {p1:.2f} dB (delta {p1 - p0:+.2f})",
           flush=True)
@@ -252,9 +305,19 @@ if __name__ == "__main__":
     ap.add_argument("--dump_dir", default="")
     ap.add_argument("--freeze_pose", action="store_true")
     ap.add_argument("--eval_every", type=int, default=0)
+    ap.add_argument("--densify", action="store_true",
+                    help="full reference recipe: densify/prune + opacity "
+                         "reset + SH schedule on the run-scaled cadence")
+    ap.add_argument("--pose_perturb", type=float, default=0.0,
+                    help="stddev of 6D-rotation noise on the learner's "
+                         "initial per-frame SMPL-X params (targets keep "
+                         "the true pose); requires pose lr on")
+    ap.add_argument("--n_scene", type=int, default=120)
     args = ap.parse_args()
     main(args.steps, args.improvement_db, H=args.h, W=args.w,
          rings=args.rings, segs=args.segs, backend=args.backend,
          max_per_tile=args.max_per_tile, capacity=args.capacity,
          lr_scale=args.lr_scale, dump_dir=args.dump_dir,
-         freeze_pose=args.freeze_pose, eval_every=args.eval_every)
+         freeze_pose=args.freeze_pose, eval_every=args.eval_every,
+         densify=args.densify, pose_perturb=args.pose_perturb,
+         n_scene=args.n_scene)

@@ -230,7 +230,8 @@ class RasterCapacityGovernor:
     def __init__(self, settings: RasterizeSettings, patience: int = 3,
                  max_pairs_ceiling: int = 1 << 24,
                  max_per_tile_ceiling: int = 1 << 14, log=None,
-                 exchange_cap_floor: int = 512):
+                 exchange_cap_floor: int = 512,
+                 pair_major_threshold: int = 4096):
         self.settings = settings
         self.patience = patience
         self.max_pairs_ceiling = max_pairs_ceiling
@@ -242,6 +243,7 @@ class RasterCapacityGovernor:
         # the first growth never replaces a large auto cap with a smaller
         # explicit one (which would worsen the very overflow it heals)
         self.exchange_cap_floor = exchange_cap_floor
+        self.pair_major_threshold = pair_major_threshold
         self._pair_streak = 0
         self._trunc_streak = 0
         self._xovf_streak = 0
@@ -291,7 +293,20 @@ class RasterCapacityGovernor:
         if self._trunc_streak >= self.patience:
             self._trunc_streak = 0
             new = min(s.max_per_tile * 2, self.max_per_tile_ceiling)
-            if new != s.max_per_tile:
+            if (not s.pair_major and s.backend != "ref"
+                    and new > self.pair_major_threshold):
+                # dense (T, 12, K) windows past this K spend most of their
+                # HBM traffic on empty slots (measured 2.42 s/itr at the
+                # zero-truncation K=16384 vs ~1 s truncating at 1024,
+                # tools/train_step_bench.py --steady) — switch the render
+                # to the ragged pair-major path, where per-tile capacity
+                # (and truncation itself) does not exist
+                self._log(f"raster max_per_tile pressure past "
+                          f"{self.pair_major_threshold}: switching to "
+                          f"pair_major (ragged) compositing "
+                          f"(sustained n_truncated={truncated:.0f})")
+                s = _dc.replace(s, pair_major=True)
+            elif new != s.max_per_tile:
                 self._log(f"raster max_per_tile {s.max_per_tile} -> {new} "
                           f"(sustained n_truncated={truncated:.0f})")
                 s = _dc.replace(s, max_per_tile=new)

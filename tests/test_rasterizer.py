@@ -416,6 +416,87 @@ class TestTileGatherVJP:
         assert nz[:4].all() and not nz[4:].any()
 
 
+class TestPairMajor:
+    """Ragged pair-major compositing (settings.pair_major): no (T, K)
+    windows, no per-tile truncation — values must be BIT-equal to the dense
+    pallas path (same fp expressions, same per-tile pair order) and grads
+    equal up to scatter/summation order."""
+
+    def test_forward_bit_equal_to_dense(self, rng):
+        scene = make_scene(rng, n=300, img=(64, 256))
+        den = RasterizeSettings(backend="pallas", max_per_tile=512, chunk=128)
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=128)
+        r1 = render(scene, den)
+        r2 = render(scene, rag)
+        for k in ("img", "depth", "mask"):
+            np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]))
+        np.testing.assert_array_equal(
+            np.asarray(r1["tile_counts"]), np.asarray(r2["tile_counts"])
+        )
+
+    def test_gradients_match_dense(self, rng):
+        scene = make_scene(rng, n=200, img=(64, 256))
+        den = RasterizeSettings(backend="pallas", max_per_tile=512, chunk=128)
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=128)
+
+        def make_loss(st):
+            def loss(means, scales, opac, rgbs):
+                out = render(scene, st, means3d=means, scales=scales,
+                             opacities=opac, rgbs=rgbs)
+                return (jnp.sum(out["img"] ** 2) + jnp.sum(out["mask"])
+                        + jnp.sum(out["depth"] * out["mask"]))
+            return loss
+
+        args = (scene["means3d"], scene["scales"], scene["opacities"],
+                scene["rgbs"])
+        g1 = jax.grad(make_loss(den), argnums=(0, 1, 2, 3))(*args)
+        g2 = jax.grad(make_loss(rag), argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g1, g2):
+            rms = float(jnp.sqrt(jnp.mean(a ** 2))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3 * rms, rtol=1e-4
+            )
+
+    def test_no_truncation_where_dense_truncates(self, rng):
+        """A tile overfilled past the dense path's max_per_tile: dense
+        reports truncation and drops the deepest rows; pair-major keeps
+        everything and must match a dense render with a big-enough K."""
+        scene = make_scene(rng, n=400, img=(32, 256))
+        small = RasterizeSettings(backend="pallas", max_per_tile=128, chunk=64)
+        big = RasterizeSettings(backend="pallas", max_per_tile=512, chunk=64)
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=64)
+        r_small = render(scene, small)
+        r_big = render(scene, big)
+        r_rag = render(scene, rag)
+        assert int(r_small["n_truncated"]) > 0, "fixture must overfill"
+        assert int(r_big["n_truncated"]) == 0
+        assert int(r_rag["n_truncated"]) == 0
+        np.testing.assert_array_equal(
+            np.asarray(r_rag["img"]), np.asarray(r_big["img"])
+        )
+
+    def test_mean2d_offset_grad_flows(self, rng):
+        """Densification needs d(loss)/d(mean2d_offset) through the ragged
+        path too."""
+        scene = make_scene(rng, n=64, img=(32, 256))
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=64)
+
+        def loss(off):
+            out = render(scene, rag, mean2d_offset=off)
+            return jnp.sum(out["img"] ** 2)
+
+        g = jax.grad(loss)(jnp.zeros((64, 2)))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_pair_budget_overflow_reported(self, rng):
+        scene = make_scene(rng, n=300, img=(64, 256))
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=64,
+                                max_pairs=256)
+        out = render(scene, rag)
+        assert int(out["n_dropped_pairs"]) > 0
+
+
 def test_dense_deep_scene_parity(rng):
     """Regression for the bf16 default-matmul-precision bug: a DENSE scene
     (hundreds of overlapping Gaussians per tile, large radii) catastrophically

@@ -296,3 +296,26 @@ class TestRasterCapacityGovernor:
             gov.update(1e9, 1e9)
         assert gov.settings.max_per_tile <= 16384
         assert gov.settings.pairs_per_gaussian <= (1 << 24) // 1024
+
+    def test_sustained_truncation_switches_to_pair_major(self):
+        """Dense-window growth past the threshold flips the render to the
+        ragged pair-major path (where truncation does not exist) instead of
+        doubling K into empty-slot HBM traffic."""
+        from exavatar_release_tpu.ops.rasterizer.api import RasterizeSettings
+        from exavatar_release_tpu.train.loop import RasterCapacityGovernor
+
+        gov = RasterCapacityGovernor(
+            RasterizeSettings(max_per_tile=1024), patience=1,
+            pair_major_threshold=4096,
+        )
+        while not gov.settings.pair_major:
+            gov.update(0.0, 1e6)
+        # the switch replaced a K-doubling, not accompanied one
+        assert gov.settings.max_per_tile <= 4096
+        # with the ragged path active truncation is structurally zero, so
+        # the settings stay put (continued fake truncation would mean the
+        # render ignored pair_major — the sharded fallback — where dense
+        # growth must resume, which the elif covers)
+        before = gov.settings
+        gov.update(0.0, 0.0)
+        assert gov.settings == before

@@ -158,6 +158,8 @@ def main():
                     help="also time the step's components in isolation "
                          "(human fwd+bwd, each render, face renders, "
                          "losses, optimizer)")
+    ap.add_argument("--pair_major", action="store_true",
+                    help="use the ragged pair-major compositing path")
     ap.add_argument("--steady", action="store_true",
                     help="start from a plausible converged-scale state "
                          "(scale head at log 0.01) and auto-grow binning "
@@ -175,7 +177,9 @@ def main():
         args.scene_live, args.triplane_res,
     )
     print(f"setup: {time.perf_counter() - t0:.1f}s")
-    settings = RasterizeSettings(backend=args.backend)
+    settings = RasterizeSettings(
+        backend=args.backend, pair_major=args.pair_major
+    )
     if args.steady:
         # training steady state, not step 0: converged runs live at small
         # scales with ZERO dropped pairs (the governor drives drops to 0 and
