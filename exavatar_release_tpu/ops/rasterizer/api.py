@@ -233,11 +233,12 @@ def _composite_cm_bwd(tile_shape, chunk, interpret, sub, res, g_full):
 _composite_cm.defvjp(_composite_cm_fwd, _composite_cm_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _composite_rg(rows, tid, flags, bg, oy_off, tile_shape, num_tiles, chunk,
-                  nx, interpret):
+                  nx, interpret, sub_bwd=1):
     """Ragged pair-major composite: rows (12, Pa) chunk-aligned pair rows ->
-    full (T, 5, P). Differentiable in rows and bg."""
+    full (T, 5, P). Differentiable in rows and bg. ``sub_bwd``: backward
+    row-group early-termination granularity (see _backward_kernel_rg)."""
     return pallas_kernels.composite_pairs_fwd_rg(
         rows, tid, flags, bg, oy_off, tile_shape, num_tiles, chunk, nx,
         interpret,
@@ -245,18 +246,18 @@ def _composite_rg(rows, tid, flags, bg, oy_off, tile_shape, num_tiles, chunk,
 
 
 def _composite_rg_fwd(rows, tid, flags, bg, oy_off, tile_shape, num_tiles,
-                      chunk, nx, interpret):
+                      chunk, nx, interpret, sub_bwd=1):
     full = _composite_rg(rows, tid, flags, bg, oy_off, tile_shape, num_tiles,
-                         chunk, nx, interpret)
+                         chunk, nx, interpret, sub_bwd)
     return full, (rows, tid, flags, bg, oy_off, full)
 
 
-def _composite_rg_bwd(tile_shape, num_tiles, chunk, nx, interpret, res,
-                      g_full):
+def _composite_rg_bwd(tile_shape, num_tiles, chunk, nx, interpret, sub_bwd,
+                      res, g_full):
     rows, tid, flags, bg, oy_off, full = res
     drows = pallas_kernels.composite_pairs_bwd_rg(
         rows, tid, flags, bg, oy_off, full, g_full, tile_shape, num_tiles,
-        chunk, nx, interpret,
+        chunk, nx, interpret, sub=sub_bwd,
     )
     tfinal = 1.0 - full[:, 4, :]  # (T, P)
     dbg = jnp.sum(g_full[:, 0:3, :] * tfinal[:, None, :], axis=(0, 2))
@@ -360,6 +361,7 @@ def rasterize(
         full_t = _composite_rg(
             rows2, rb.tid, rb.flags, bg, jnp.float32(0.0), (th, tw),
             ny * nx, chunk, nx, settings.resolve_interpret(),
+            settings.resolve_sub()[1],
         )  # (T, 5, P)
         full = (
             full_t.reshape(ny, nx, 5, th, tw)

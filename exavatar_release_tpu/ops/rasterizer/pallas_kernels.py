@@ -1270,7 +1270,7 @@ def _backward_kernel_rg(
     dwin_ref,  # out VMEM (12, chunk)
     tcarry,
     pcarry,
-    done,
+    done,  # (P, 1): per-PIXEL sticky termination (groups read their slice)
     gacc_s,  # scratch (P, 4): per-tile g_acc, built at the first slot
     gaccT_s,  # scratch (4, P)
     A_p_s,  # scratch (P, 1)
@@ -1279,18 +1279,28 @@ def _backward_kernel_rg(
     tw: int,
     chunk: int,
     nx: int,
+    sub: int = 1,
 ):
+    """``sub``: the tile's P pixels run as ``sub`` independent row groups,
+    each skipping chunk slots once ITS pixels all terminated (same contract
+    as _backward_kernel_cm — exact zeros past a group's termination depth,
+    parameter grads accumulate over groups up to f32 summation order).
+    With one chunk per grid step the skip saves the group's share of every
+    remaining slot's compute; the slot DMA is shared and still happens."""
     j = pl.program_id(0)
     t = tid_ref[j]
     flags = flag_ref[j]
     P = th * tw
+    assert P % sub == 0 and th % sub == 0, (P, th, sub)
+    Ps = P // sub
+    rh = th // sub
     m_excl, m_incl = _tri_matrices(chunk)
-    i = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (Ps, 1), 0)
     ox = ((t % nx) * tw).astype(F32)
     oy = ((t // nx) * th).astype(F32) + oy_ref[0, 0]
-    pxg = (i % tw).astype(F32) + ox
-    pyg = (i // tw).astype(F32) + oy
-    basisT = _pixel_basis_T(th, tw)  # (8, P) tile-local coords
+    px0 = (i % tw).astype(F32) + ox
+    py0 = (i // tw).astype(F32) + oy
+    basisT_full = _pixel_basis_T(th, tw)  # (8, P) tile-local coords
 
     @pl.when((flags & 1) != 0)
     def _init():
@@ -1316,53 +1326,60 @@ def _backward_kernel_rg(
         gacc_s[:] = g_accT.T
         A_p_s[:] = A_pT.T
 
-    live = ((flags & 4) != 0) & (jnp.min(done[:]) < 1.0)
+    valid = (flags & 4) != 0
+    dwin_ref[:, :] = jnp.zeros((12, chunk), F32)
 
-    @pl.when(live)
-    def _compute():
-        wrow = rows_ref[:, :]
-        qT = wrow[0:6]
-        colorT = wrow[8:12]
-        g_acc = gacc_s[:]
-        A_p = A_p_s[:]
-        alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
+    for s in range(sub):
+        psl = pl.ds(s * Ps, Ps)
+        live = valid & (jnp.min(done[psl, 0]) < 1.0)
 
-        wlog = jnp.log1p(-alpha)
-        cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
-        T_raw = jnp.exp(cum_excl) * tcarry[:]
-        trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
-        dead = jnp.maximum(trigger, done[:])
-        alive = dead == 0.0
-        alpha_eff = jnp.where(alive, alpha, 0.0)
-        w = alpha_eff * T_raw
+        @pl.when(live)
+        def _compute(s=s, psl=psl):
+            pxg = px0
+            pyg = py0 + float(s * rh)
+            basisT = basisT_full[:, s * Ps:(s + 1) * Ps]
+            wrow = rows_ref[:, :]
+            qT = wrow[0:6]
+            colorT = wrow[8:12]
+            g_acc = gacc_s[psl, :]
+            A_p = A_p_s[psl, :]
+            alpha, alpha_un = _alphas_from_qT(pxg, pyg, qT)
 
-        cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
-              + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
-        wcg = w * cg
-        P_incl = pcarry[:] + _dot(wcg, m_incl, ((1,), (0,)), _PREC_PREFIX)
-        dalpha = jnp.where(
-            alive,
-            T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
-            0.0,
-        )
-        dq = dalpha * alpha_un  # (P, G)
+            wlog = jnp.log1p(-alpha)
+            cum_excl = _dot(wlog, m_excl, ((1,), (0,)), _PREC_PREFIX)
+            T_raw = jnp.exp(cum_excl) * tcarry[psl, :]
+            trigger = ((T_raw * (1.0 - alpha)) < _TERM_EPS).astype(F32)
+            dead = jnp.maximum(trigger, done[psl, :])
+            alive = dead == 0.0
+            alpha_eff = jnp.where(alive, alpha, 0.0)
+            w = alpha_eff * T_raw
 
-        dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
-        dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
-        dcolorT = _dot(gaccT_s[:], w, ((1,), (0,)), _PREC_GRAD)  # (4, G)
-        dwin_ref[:, :] = jnp.concatenate([dquadT, dcolorT], axis=0)
+            cg = (g_acc[:, 0:1] * colorT[0:1] + g_acc[:, 1:2] * colorT[1:2]
+                  + g_acc[:, 2:3] * colorT[2:3] + g_acc[:, 3:4] * colorT[3:4])
+            wcg = w * cg
+            P_incl = pcarry[psl, :] + _dot(
+                wcg, m_incl, ((1,), (0,)), _PREC_PREFIX
+            )
+            dalpha = jnp.where(
+                alive,
+                T_raw * cg - (A_p - P_incl) / (1.0 - alpha_eff),
+                0.0,
+            )
+            dq = dalpha * alpha_un  # (Ps, G)
 
-        pcarry[:] = P_incl[:, -1:]
-        wlog_eff = jnp.where(alive, wlog, 0.0)
-        tcarry[:] *= jnp.exp(jnp.sum(wlog_eff, axis=1, keepdims=True))
-        done[:] = jnp.minimum(dead[:, -1:], 1.0)
+            dquadT = _dot(basisT, dq, ((1,), (0,)), _PREC_GRAD)  # (8, G)
+            dquadT = _deloc_grads_T(dquadT, qT, ox, oy)
+            dcolorT = _dot(
+                gaccT_s[:, psl], w, ((1,), (0,)), _PREC_GRAD
+            )  # (4, G)
+            dwin_ref[:, :] += jnp.concatenate([dquadT, dcolorT], axis=0)
 
-    @pl.when(jnp.logical_not(live))
-    def _zero():
-        # slots past a tile's termination depth (exact zeros) and padding
-        # slots (their pair rows are sentinels routed to a dropped row by
-        # the caller, but zeros keep the scatter clean regardless)
-        dwin_ref[:, :] = jnp.zeros((12, chunk), F32)
+            pcarry[psl, :] = P_incl[:, -1:]
+            wlog_eff = jnp.where(alive, wlog, 0.0)
+            tcarry[psl, :] *= jnp.exp(
+                jnp.sum(wlog_eff, axis=1, keepdims=True)
+            )
+            done[psl, :] = jnp.minimum(dead[:, -1:], 1.0)
 
 
 @functools.partial(
@@ -1423,7 +1440,7 @@ def composite_pairs_fwd_rg(
 
 @functools.partial(
     jax.jit, static_argnames=("tile_shape", "num_tiles", "chunk", "nx",
-                              "interpret")
+                              "interpret", "sub")
 )
 def composite_pairs_bwd_rg(
     rows: jnp.ndarray,  # (12, Pa)
@@ -1438,13 +1455,14 @@ def composite_pairs_bwd_rg(
     chunk: int,
     nx: int,
     interpret: bool = False,
+    sub: int = 1,
 ) -> jnp.ndarray:
     """Returns dwin (12, Pa) — cotangents of the pair rows."""
     th, tw = tile_shape
     P = th * tw
     NC = tid.shape[0]
     kern = functools.partial(
-        _backward_kernel_rg, th=th, tw=tw, chunk=chunk, nx=nx
+        _backward_kernel_rg, th=th, tw=tw, chunk=chunk, nx=nx, sub=sub
     )
     tile_map = lambda j, tid, flg: (tid[j], 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -49,7 +49,8 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
          lr_scale: float = 1.0, dump_dir: str = "",
          freeze_pose: bool = False, eval_every: int = 0,
          densify: bool = False, pose_perturb: float = 0.0,
-         n_scene: int = 120) -> float:
+         n_scene: int = 120, pair_major: bool = False,
+         eval_ppg: int = 128) -> float:
     """Returns the PSNR improvement. ``densify=True`` turns on the FULL
     reference recipe (round-4 verdict missing #1): ``maybe_adjust_gaussians``
     on a cadence scaled to the run horizon (reference densifies every 100 itr
@@ -74,6 +75,8 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
     s = build_setup(H=H, W=W, rings=rings, segs=segs, backend=backend,
                     max_per_tile=max_per_tile, capacity=capacity,
                     n_scene=n_scene)
+    if pair_major:
+        s.settings = dataclasses.replace(s.settings, pair_major=True)
     if lr_scale != 1.0:
         s.cfg = dataclasses.replace(s.cfg, lr=s.cfg.lr * lr_scale)
     if densify:
@@ -152,7 +155,9 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
     # synthetic scene cloud has meter-scale Gaussians whose footprints
     # overflow the default 16*N budget at >=512p — a truncated TARGET would
     # make the fit unreachable regardless of training health
-    eval_settings = dataclasses.replace(s.settings, pairs_per_gaussian=128)
+    eval_settings = dataclasses.replace(
+        s.settings, pairs_per_gaussian=eval_ppg
+    )
 
     @jax.jit
     def render(tr, aux, frame):
@@ -313,6 +318,12 @@ if __name__ == "__main__":
                          "initial per-frame SMPL-X params (targets keep "
                          "the true pose); requires pose lr on")
     ap.add_argument("--n_scene", type=int, default=120)
+    ap.add_argument("--pair_major", action="store_true",
+                    help="ragged pair-major compositing (the right mode at "
+                         "reference density, see RasterizeSettings)")
+    ap.add_argument("--eval_ppg", type=int, default=128,
+                    help="pairs-per-gaussian budget for target/eval renders"
+                         " (128 suits sparse toy scenes; use ~24 at 167k)")
     args = ap.parse_args()
     main(args.steps, args.improvement_db, H=args.h, W=args.w,
          rings=args.rings, segs=args.segs, backend=args.backend,
@@ -320,4 +331,5 @@ if __name__ == "__main__":
          lr_scale=args.lr_scale, dump_dir=args.dump_dir,
          freeze_pose=args.freeze_pose, eval_every=args.eval_every,
          densify=args.densify, pose_perturb=args.pose_perturb,
-         n_scene=args.n_scene)
+         n_scene=args.n_scene, pair_major=args.pair_major,
+         eval_ppg=args.eval_ppg)

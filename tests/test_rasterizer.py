@@ -461,10 +461,14 @@ class TestPairMajor:
         """A tile overfilled past the dense path's max_per_tile: dense
         reports truncation and drops the deepest rows; pair-major keeps
         everything and must match a dense render with a big-enough K."""
+        # chunk 128 everywhere: the ragged path 128-aligns its chunk for the
+        # Mosaic block contract, and bit-equality needs identical prefix
+        # splits
         scene = make_scene(rng, n=400, img=(32, 256))
-        small = RasterizeSettings(backend="pallas", max_per_tile=128, chunk=64)
-        big = RasterizeSettings(backend="pallas", max_per_tile=512, chunk=64)
-        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=64)
+        small = RasterizeSettings(backend="pallas", max_per_tile=128,
+                                  chunk=128)
+        big = RasterizeSettings(backend="pallas", max_per_tile=512, chunk=128)
+        rag = RasterizeSettings(backend="pallas", pair_major=True, chunk=128)
         r_small = render(scene, small)
         r_big = render(scene, big)
         r_rag = render(scene, rag)
