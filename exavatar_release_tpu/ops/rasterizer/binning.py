@@ -240,7 +240,7 @@ def bin_gaussians_sorted(
 
 def _compact_sorted_pairs(
     mean2d, radius, depth, visible, img_shape, tile_h, tile_w, max_pairs,
-    extent,
+    extent, tile_row_offset=0,
 ):
     """Shared core of the compact/ragged binnings: emit each Gaussian's
     pairs contiguously at exclusive-cumsum offsets inside a (max_pairs,)
@@ -259,7 +259,9 @@ def _compact_sorted_pairs(
     rad = radius[order]
     vis = visible[order] & (rad > 0)
     ext = None if extent is None else extent[order]
-    x_lo, x_hi, y_lo, y_hi = _tile_rect(m2d, rad, tile_h, tile_w, ny, nx, ext)
+    x_lo, x_hi, y_lo, y_hi = _tile_rect(
+        m2d, rad, tile_h, tile_w, ny, nx, ext, tile_row_offset
+    )
     w = x_hi - x_lo
     span = jnp.where(vis, w * (y_hi - y_lo), 0)
 
@@ -414,6 +416,7 @@ def bin_gaussians_ragged(
     chunk: int = 256,
     max_pairs: int = 0,
     extent: jnp.ndarray = None,
+    tile_row_offset=0,
 ) -> RaggedBinning:
     """Pair-major binning: the sorted pair list is re-scattered so every
     tile's window starts on a ``chunk`` boundary (one scatter; the aligned
@@ -429,7 +432,8 @@ def bin_gaussians_ragged(
     Pm = -(-max_pairs // chunk) * chunk
     (order, tile_sorted, rank_sorted, starts, counts, total_pairs,
      ny, nx) = _compact_sorted_pairs(
-        mean2d, radius, depth, visible, img_shape, tile_h, tile_w, Pm, extent
+        mean2d, radius, depth, visible, img_shape, tile_h, tile_w, Pm,
+        extent, tile_row_offset,
     )
     num_tiles = ny * nx
     Pa = Pm + num_tiles * chunk

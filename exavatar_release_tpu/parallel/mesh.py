@@ -45,16 +45,18 @@ def init_distributed(
     No-op for plain single-process runs."""
     import os
 
-    cluster_env = any(
-        v in os.environ
-        for v in (
-            "COORDINATOR_ADDRESS",       # this package's launcher convention
-            "JAX_COORDINATOR_ADDRESS",   # jax's own override
-            "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU
-            "TPU_WORKER_HOSTNAMES",      # GCE TPU pod metadata
-            "TPU_WORKER_ID",
-            "SLURM_JOB_NUM_NODES",       # SLURM clusters
-        )
+    def _multi(var, sep=","):
+        return len(os.environ.get(var, "").split(sep)) > 1
+
+    cluster_env = (
+        "COORDINATOR_ADDRESS" in os.environ   # this package's convention
+        or "JAX_COORDINATOR_ADDRESS" in os.environ  # jax's own override
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ  # multi-slice TPU
+        # pod metadata counts only when it names MORE THAN ONE worker —
+        # single-host TPU plugins set TPU_WORKER_HOSTNAMES=localhost and
+        # must stay a no-op
+        or _multi("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1")
     )
     if coordinator_address is None and num_processes is None and not cluster_env:
         return  # single-process: nothing to initialize

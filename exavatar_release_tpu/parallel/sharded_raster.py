@@ -95,6 +95,51 @@ def _render_band(
 
     d = jax.lax.axis_index(axis)
     row0 = (d * rows_per_dev).astype(jnp.float32)
+
+    if settings.pair_major and not use_ref:
+        # ragged pair-major band: same global-coords contract (integer
+        # tile-row offset into the binning, global row offset into the
+        # kernel's pixel coords) — see RasterizeSettings.pair_major
+        from ..ops.rasterizer.api import _composite_rg
+        from ..ops.rasterizer.binning import bin_gaussians_ragged
+
+        chunk = max(128, -(-settings.chunk // 128) * 128)
+        n_loc = params.shape[0]
+        max_pairs = (
+            settings.max_pairs if settings.max_pairs > 0
+            else settings.pairs_per_gaussian * n_loc
+        )
+        rb = bin_gaussians_ragged(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(radius),
+            jax.lax.stop_gradient(depth),
+            visible,
+            (rows_per_dev, W), th, tw, chunk=chunk, max_pairs=max_pairs,
+            extent=None if extent is None else jax.lax.stop_gradient(extent),
+            tile_row_offset=d * (rows_per_dev // th),
+        )
+        sentinel = jnp.zeros((1, 12), jnp.float32).at[0, 5].set(-1e9)
+        order_pad = jnp.concatenate(
+            [rb.order, jnp.array([n_loc], jnp.int32)], axis=0
+        )
+        g2 = order_pad[rb.pair_rank]
+        rows_pad = jnp.concatenate(
+            [jnp.concatenate([params, color], axis=1), sentinel], axis=0
+        )
+        rows2 = jnp.swapaxes(rows_pad[g2], 0, 1)  # (12, Pa)
+        full_t = _composite_rg(
+            rows2, rb.tid, rb.flags, bg, row0, (th, tw),
+            ny_local * nx, chunk, nx, interpret,
+            settings.resolve_sub()[1],
+        )  # (T_local, 5, P)
+        full = (
+            full_t.reshape(ny_local, nx, 5, th, tw)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(ny_local * th, nx * tw, 5)
+        )
+        dropped = jnp.stack([rb.n_dropped_pairs, rb.n_truncated])
+        return full[:, :W], dropped
+
     # bin on GLOBAL coords with the viewport expressed as an integer
     # tile-row offset — bit-identical tile membership vs the single-device
     # path (an f32 origin shift of mean2d rounds differently at tile

@@ -133,6 +133,24 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
         mean_offset_offset_net=constant_head(h.mean_offset_offset_net, 0.0),
     ))
 
+    learner_aux = s.scene_state.aux
+    if densify:
+        # under-reconstruction pressure: the learner starts with every
+        # SECOND scene Gaussian dead (and mild color noise on the
+        # survivors) while the targets render the FULL cloud — the missing
+        # points produce exactly the high-screen-gradient regions the
+        # reference's clone/split recipe exists to fill
+        # (train.py:49-54, densify_grad_thr)
+        prng2 = np.random.default_rng(5)
+        keep = jnp.arange(s.trainables.scene.mean.shape[0]) % 2 == 0
+        learner_aux = learner_aux.replace(live=learner_aux.live & keep)
+        sc_p = s.trainables.scene
+        s.trainables = s.trainables.replace(scene=sc_p.replace(
+            feature_dc=sc_p.feature_dc + jnp.asarray(
+                prng2.normal(0, 0.1, sc_p.feature_dc.shape).astype(np.float32)
+            )
+        ))
+
     if pose_perturb > 0.0:
         # the learner starts from WRONG per-frame SMPL-X params (noise in
         # the 6D-rotation and translation stores); the targets below render
@@ -180,7 +198,7 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
     # a horizon past the run end kept lr flat and left the tail oscillating
     # +-1 dB instead of settling (round-4 512x896 finding)
     opt = make_optimizer(s.trainables, s.cfg, 3.0, tot_itr=steps)
-    state = init_train_state(s.trainables, s.scene_state.aux, opt)
+    state = init_train_state(s.trainables, learner_aux, opt)
     key = jax.random.PRNGKey(0)
     governor = RasterCapacityGovernor(
         s.settings, log=lambda m: print(f"[governor] {m}", flush=True)

@@ -189,6 +189,59 @@ class TestGaussianSharded:
         )
         assert int(np.asarray(gsh["exchange_overflow"]).sum()) > 0
 
+    def test_pair_major_band_matches_single_device(self, mesh, rng):
+        """The ragged pair-major band renderer (settings.pair_major inside
+        _render_band) must reproduce the single-device ragged render —
+        values and grads — through the gaussian-sharded in-context path."""
+        import dataclasses
+
+        from jax.sharding import PartitionSpec as P
+
+        sc = make_scene(rng, n=64, img=(64, 256))
+        single = RasterizeSettings(backend="pallas", pair_major=True,
+                                   chunk=128)
+        ctx = dataclasses.replace(
+            single, in_shard_axis="tile", in_shard_size=4,
+            gaussian_shard=True,
+        )
+
+        def loss_from(r):
+            return jnp.sum(r["img"] ** 2) + jnp.sum(r["mask"])
+
+        def loss_single(means, scales, opac, rgbs):
+            return loss_from(rasterize(
+                means, scales, sc["quats"], opac, rgbs, sc["live"],
+                sc["cam"], sc["img_shape"], sc["bg"], single,
+            ))
+
+        def ctx_value_and_grads(means, scales, opac, rgbs):
+            def inner(means, scales, opac, rgbs):
+                def f(ms, scl, op, rg):
+                    r = rasterize(
+                        ms, scl, sc["quats"], op, rg, sc["live"],
+                        sc["cam"], sc["img_shape"], sc["bg"], ctx,
+                    )
+                    return loss_from(r) / 4.0
+
+                v, g = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+                    means, scales, opac, rgbs
+                )
+                return jax.lax.psum((v,) + g, "tile")
+
+            return jax.shard_map(
+                inner, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                out_specs=(P(),) * 5, check_vma=False,
+            )(means, scales, opac, rgbs)
+
+        args = (sc["means3d"], sc["scales"], sc["opacities"], sc["rgbs"])
+        v1, g1 = jax.value_and_grad(loss_single, argnums=(0, 1, 2, 3))(*args)
+        v2, *g2 = ctx_value_and_grads(*args)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-4
+            )
+
     def test_overflow_drops_deepest_first(self, mesh, rng):
         """Forced bucket overflow must keep the NEAREST pairs per (src, dst)
         bucket and drop the deepest — the compositor weights far Gaussians
