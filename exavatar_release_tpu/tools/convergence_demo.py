@@ -50,7 +50,7 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
          freeze_pose: bool = False, eval_every: int = 0,
          densify: bool = False, pose_perturb: float = 0.0,
          n_scene: int = 120, pair_major: bool = False,
-         eval_ppg: int = 128) -> float:
+         eval_ppg: int = 128, densify_thr: float = 0.0) -> float:
     """Returns the PSNR improvement. ``densify=True`` turns on the FULL
     reference recipe (round-4 verdict missing #1): ``maybe_adjust_gaussians``
     on a cadence scaled to the run horizon (reference densifies every 100 itr
@@ -92,6 +92,12 @@ def main(steps: int = 300, improvement_db: float = 1.0, H: int = 48,
             opacity_reset_interval=int(steps * 0.4),
             increase_sh_degree_interval=max(1, steps // 4),
         )
+        if densify_thr > 0.0:
+            # the reference's 0.0002 is tuned for real captures (RGB+SSIM+
+            # LPIPS at 1080p); the synthetic demo's point-dot scene spreads
+            # its under-reconstruction error thinner, so the demo exposes
+            # the knob rather than silently never cloning
+            s.cfg = dataclasses.replace(s.cfg, densify_grad_thr=densify_thr)
     if freeze_pose:
         # the targets were rendered with the TRUE per-frame SMPL-X params;
         # training them from that init invites a push-the-body-away local
@@ -339,6 +345,8 @@ if __name__ == "__main__":
     ap.add_argument("--pair_major", action="store_true",
                     help="ragged pair-major compositing (the right mode at "
                          "reference density, see RasterizeSettings)")
+    ap.add_argument("--densify_thr", type=float, default=0.0,
+                    help="override densify_grad_thr (0 = reference 2e-4)")
     ap.add_argument("--eval_ppg", type=int, default=128,
                     help="pairs-per-gaussian budget for target/eval renders"
                          " (128 suits sparse toy scenes; use ~24 at 167k)")
@@ -350,4 +358,4 @@ if __name__ == "__main__":
          freeze_pose=args.freeze_pose, eval_every=args.eval_every,
          densify=args.densify, pose_perturb=args.pose_perturb,
          n_scene=args.n_scene, pair_major=args.pair_major,
-         eval_ppg=args.eval_ppg)
+         eval_ppg=args.eval_ppg, densify_thr=args.densify_thr)
