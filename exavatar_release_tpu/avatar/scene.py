@@ -188,14 +188,28 @@ def set_sh_degree(state: SceneState, itr: int, cfg: AvatarConfig) -> SceneState:
 
 def track_stats(
     state: SceneState,
-    mean2d_grad: jnp.ndarray,  # (C, 2) gradient of screen-space mean
+    mean2d_grad: jnp.ndarray,  # (C, 2) gradient of screen-space mean, PIXEL units
     is_vis: jnp.ndarray,  # (C,) bool
     radius: jnp.ndarray,  # (C,) screen radius
+    img_shape=None,  # (H, W): scale pixel-unit grads to the CUDA NDC units
 ) -> SceneState:
     """Accumulate densification statistics (reference module.py:155-157 and
-    model.py:282-285): running max radius + mean2d gradient norms."""
+    model.py:282-285): running max radius + mean2d gradient norms.
+
+    Unit parity: the reference's ``densify_grad_thr = 2e-4`` thresholds the
+    CUDA rasterizer's ``means2D`` gradients, which arrive in NDC units
+    (dL/d ndc = dL/d pixel · W/2 — 3DGS screenspace convention). Our
+    ``mean2d_offset`` is in PIXELS, so without ``img_shape`` the
+    accumulated norms are ~W/2 smaller than what the reference threshold
+    expects and densification silently never fires at high resolution
+    (caught at 1088×1920: zero clone/split events across a full recipe
+    run). Pass the rendered frame's (H, W) to restore the CUDA units."""
     aux = state.aux
-    g = jnp.linalg.norm(mean2d_grad[:, :2], axis=1)
+    g2 = mean2d_grad[:, :2]
+    if img_shape is not None:
+        H, W = img_shape
+        g2 = g2 * jnp.asarray([0.5 * float(W), 0.5 * float(H)])[None, :]
+    g = jnp.linalg.norm(g2, axis=1)
     upd = is_vis & aux.live
     return state._replace(
         aux=aux.replace(

@@ -115,7 +115,10 @@ def dp_train_step(
     trainables = optax.apply_updates(state.trainables, updates)
 
     scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
-    scene_state = sc.track_stats(scene_state, g_m2d, vis_any, radius_max)
+    scene_state = sc.track_stats(
+        scene_state, g_m2d, vis_any, radius_max,
+        img_shape=(int(frames.img.shape[-2]), int(frames.img.shape[-1])),
+    )
     aux = scene_state.aux.replace(
         active_sh_degree=jnp.minimum(
             state.itr // cfg.increase_sh_degree_interval, cfg.max_sh_degree

@@ -110,7 +110,10 @@ def train_step(
     # densification statistics from the scene render (reference
     # train.py:49-54 + model.py:279-292)
     scene_state = sc.SceneState(state.trainables.scene, state.scene_aux)
-    scene_state = sc.track_stats(scene_state, g_m2d, out.scene_is_vis, out.scene_radius)
+    scene_state = sc.track_stats(
+        scene_state, g_m2d, out.scene_is_vis, out.scene_radius,
+        img_shape=(int(frame.img.shape[1]), int(frame.img.shape[2])),
+    )
     aux = scene_state.aux.replace(
         active_sh_degree=jnp.minimum(
             state.itr // cfg.increase_sh_degree_interval, cfg.max_sh_degree
