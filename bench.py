@@ -88,6 +88,13 @@ def main():
         kmax = int(np.asarray(probe["tile_counts"]).max())
         K = min(1024, max(256, -(-(kmax + 64) // 128) * 128))
         settings = dataclasses.replace(settings, max_per_tile=K)
+    if os.environ.get("BENCH_PAIR_MAJOR") == "1":
+        # ragged pair-major probe (the dense path stays the default here:
+        # this scene's occupancy is high enough that snug-K dense windows
+        # are near-optimal — pair_major's win is the dense-avatar regime)
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pair_major=True)
 
     def loss(means, scales, quats, opac, rgbs):
         r = rasterize(means, scales, quats, opac, rgbs, live, cam, (H, W), bg, settings)
