@@ -160,6 +160,11 @@ def main():
                          "losses, optimizer)")
     ap.add_argument("--pair_major", action="store_true",
                     help="use the ragged pair-major compositing path")
+    ap.add_argument("--ppg", type=int, default=0,
+                    help="pairs_per_gaussian budget override (0 = default "
+                         "16; every per-pair op scales with it — a snug "
+                         "budget cuts ragged plumbing, drops auto-grow it "
+                         "back)")
     ap.add_argument("--steady", action="store_true",
                     help="start from a plausible converged-scale state "
                          "(scale head at log 0.01) and auto-grow binning "
@@ -178,7 +183,8 @@ def main():
     )
     print(f"setup: {time.perf_counter() - t0:.1f}s")
     settings = RasterizeSettings(
-        backend=args.backend, pair_major=args.pair_major
+        backend=args.backend, pair_major=args.pair_major,
+        **({"pairs_per_gaussian": args.ppg} if args.ppg > 0 else {}),
     )
     if args.steady:
         # training steady state, not step 0: converged runs live at small
