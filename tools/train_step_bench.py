@@ -160,6 +160,8 @@ def main():
                          "losses, optimizer)")
     ap.add_argument("--pair_major", action="store_true",
                     help="use the ragged pair-major compositing path")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="compositing chunk override (0 = default 256)")
     ap.add_argument("--ppg", type=int, default=0,
                     help="pairs_per_gaussian budget override (0 = default "
                          "16; every per-pair op scales with it — a snug "
@@ -182,9 +184,13 @@ def main():
         args.scene_live, args.triplane_res,
     )
     print(f"setup: {time.perf_counter() - t0:.1f}s")
+    over = {}
+    if args.ppg > 0:
+        over["pairs_per_gaussian"] = args.ppg
+    if args.chunk > 0:
+        over["chunk"] = args.chunk
     settings = RasterizeSettings(
-        backend=args.backend, pair_major=args.pair_major,
-        **({"pairs_per_gaussian": args.ppg} if args.ppg > 0 else {}),
+        backend=args.backend, pair_major=args.pair_major, **over
     )
     if args.steady:
         # training steady state, not step 0: converged runs live at small
