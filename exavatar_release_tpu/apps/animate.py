@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--triplane_ch", type=int, default=32)
     ap.add_argument("--triplane_res", type=int, default=128)
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
+    ap.add_argument("--pair_major", action="store_true",
+                    help="ragged pair-major compositing — the right mode at reference avatar density (no per-tile capacity, no truncation)")
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
@@ -83,7 +85,8 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     H, W = args.img_size
-    settings = RasterizeSettings(backend=args.raster_backend)
+    settings = RasterizeSettings(backend=args.raster_backend,
+                                 pair_major=args.pair_major)
     E = prior.assets.num_expr
 
     def render_assets(assets, cam):

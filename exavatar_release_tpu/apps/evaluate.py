@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--triplane_ch", type=int, default=32)
     ap.add_argument("--triplane_res", type=int, default=128)
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
+    ap.add_argument("--pair_major", action="store_true",
+                    help="ragged pair-major compositing — the right mode at reference avatar density (no per-tile capacity, no truncation)")
     args = ap.parse_args()
 
     from ..avatar.config import AvatarConfig
@@ -55,7 +57,8 @@ def main():
     state, _ = load_checkpoint(args.ckpt, state)
 
     lpips_p = resolve_lpips(args.lpips_weights, "alex")
-    settings = RasterizeSettings(backend=args.raster_backend)
+    settings = RasterizeSettings(backend=args.raster_backend,
+                                 pair_major=args.pair_major)
 
     scores = {"psnr": [], "ssim": [], "lpips": []}
     for frame_idx in sorted(set(subject.frame_ids)):

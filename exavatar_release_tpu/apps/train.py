@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--triplane_ch", type=int, default=32)
     ap.add_argument("--triplane_res", type=int, default=128)
     ap.add_argument("--raster_backend", default="pallas", choices=["pallas", "ref"])
+    ap.add_argument(
+        "--pair_major", action="store_true",
+        help="ragged pair-major compositing from the start — the right "
+             "mode at reference avatar density (no per-tile capacity, no "
+             "truncation); without it the capacity governor switches "
+             "automatically when dense-window pressure passes K=4096")
     ap.add_argument("--loader", default="auto", choices=["auto", "native", "python"],
                     help="frame decode pipeline: native C++ prefetcher or cv2")
     ap.add_argument(
@@ -141,7 +147,8 @@ def main():
             logger.info(f"resumed from {ck}")
 
     settings = RasterizeSettings(
-        backend=args.raster_backend, gaussian_shard=args.gaussian_shard
+        backend=args.raster_backend, gaussian_shard=args.gaussian_shard,
+        pair_major=args.pair_major,
     )
     from ..train.loop import RasterCapacityGovernor
 
