@@ -162,6 +162,8 @@ def main():
                     help="use the ragged pair-major compositing path")
     ap.add_argument("--chunk", type=int, default=0,
                     help="compositing chunk override (0 = default 256)")
+    ap.add_argument("--sub_bwd", type=int, default=0,
+                    help="composite_sub_bwd override (0 = default 4)")
     ap.add_argument("--ppg", type=int, default=0,
                     help="pairs_per_gaussian budget override (0 = default "
                          "16; every per-pair op scales with it — a snug "
@@ -189,6 +191,8 @@ def main():
         over["pairs_per_gaussian"] = args.ppg
     if args.chunk > 0:
         over["chunk"] = args.chunk
+    if args.sub_bwd > 0:
+        over["composite_sub_bwd"] = args.sub_bwd
     settings = RasterizeSettings(
         backend=args.backend, pair_major=args.pair_major, **over
     )
